@@ -1,0 +1,184 @@
+"""Encoding-layer tests: shapes, math oracles, reference-semantics parity."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mri_interpolation_tpu.encodings import (
+    FrequencyEncoding,
+    GaussianFourierEncoding,
+    HashGridEncoding,
+    PRIMES,
+    spatial_hash,
+)
+
+
+class TestFrequency:
+    def test_output_dim_and_layout(self):
+        enc = FrequencyEncoding(dim=2, n_levels=3)
+        assert enc.output_dim == 12
+        x = jnp.array([[0.5, 0.25]])
+        out = np.asarray(enc(x))[0]
+        # dim-major layout: [sin(1*x0), sin(2*x0), sin(4*x0), cos(...), then x1]
+        expected0 = [math.sin(0.5), math.sin(1.0), math.sin(2.0), math.cos(0.5), math.cos(1.0), math.cos(2.0)]
+        np.testing.assert_allclose(out[:6], expected0, rtol=1e-6)
+        expected1 = [math.sin(0.25), math.sin(0.5), math.sin(1.0), math.cos(0.25), math.cos(0.5), math.cos(1.0)]
+        np.testing.assert_allclose(out[6:], expected1, rtol=1e-6)
+
+    def test_batch_shapes(self):
+        enc = FrequencyEncoding(dim=3, n_levels=4)
+        out = enc(jnp.zeros((7, 5, 3)))
+        assert out.shape == (7, 5, 24)
+
+
+class TestGaussianFourier:
+    def test_semantics(self):
+        enc = GaussianFourierEncoding(dim=3, encoded_size=16, sigma=10.0)
+        params = enc.init(jax.random.key(0))
+        assert params["b"].shape == (16, 3)
+        # b stddev ~ sigma
+        assert 5.0 < np.std(np.asarray(params["b"])) < 15.0
+        x = jnp.array([[0.1, 0.2, 0.3]])
+        out = np.asarray(enc.apply(params, x))[0]
+        proj = 2 * np.pi * np.asarray(params["b"]) @ np.array([0.1, 0.2, 0.3])
+        np.testing.assert_allclose(out, np.concatenate([np.cos(proj), np.sin(proj)]), atol=1e-5)
+
+
+def numpy_hash_oracle(corner, hashmap_size):
+    """Independent uint64->uint32 implementation of the tcnn spatial hash."""
+    corner = np.asarray(corner, dtype=np.uint64)
+    d = corner.shape[-1]
+    primes = np.array(PRIMES[:d], dtype=np.uint64)
+    h = (corner * primes) & np.uint64(0xFFFFFFFF)
+    out = h[..., 0]
+    for i in range(1, d):
+        out = out ^ h[..., i]
+    return (out % np.uint64(hashmap_size)).astype(np.int64)
+
+
+class TestSpatialHash:
+    @pytest.mark.parametrize("dim", [2, 3, 4])
+    def test_matches_numpy_oracle(self, dim, rng):
+        corners = rng.integers(0, 1000, size=(100, dim)).astype(np.int32)
+        size = 2**15
+        got = np.asarray(spatial_hash(jnp.asarray(corners), jnp.asarray([size], dtype=jnp.uint32)))
+        expected = numpy_hash_oracle(corners, size)
+        np.testing.assert_array_equal(got, expected)
+
+    def test_uint32_wraparound(self):
+        # Large corner coords must wrap mod 2^32, matching `& 0xFFFFFFFF`.
+        corner = np.array([[100000, 70000]], dtype=np.int32)
+        got = np.asarray(spatial_hash(jnp.asarray(corner), jnp.asarray([2**23], dtype=jnp.uint32)))
+        np.testing.assert_array_equal(got, numpy_hash_oracle(corner, 2**23))
+
+    def test_dim0_prime_is_identity(self):
+        # PRIMES[0] == 1 so 1-D hashing is just modulo.
+        corner = np.array([[7], [129]], dtype=np.int32)
+        got = np.asarray(spatial_hash(jnp.asarray(corner), jnp.asarray([100], dtype=jnp.uint32)))
+        np.testing.assert_array_equal(got, [7, 29])
+
+
+class TestHashGridGeometry:
+    def test_isotropic_reference_growth(self):
+        # encoding.py:168-176 semantics: b = exp((ln512 - ln16)/(16-1)).
+        enc = HashGridEncoding(dim=3, n_levels=4, n_features_per_level=2, log2_hashmap_size=15,
+                               base_resolution=16, finest_resolution=512)
+        b = math.exp((math.log(512) - math.log(16)) / (16 - 1))
+        expected = [math.floor(16 * b**l) for l in range(4)]
+        np.testing.assert_array_equal(enc.level_resolutions[:, 0], expected)
+        for l in range(4):
+            assert enc.level_sizes[l] == min(expected[l] ** 3, 2**15)
+
+    def test_anisotropic_v2_growth(self):
+        # encoding.py:310-321 semantics, the reference's dyn-MRI config.
+        enc = HashGridEncoding(dim=3, n_levels=4, n_features_per_level=1, log2_hashmap_size=23,
+                               base_resolution=(64, 64, 5), finest_resolution=(352, 352, 15))
+        bx = math.exp((math.log(352) - math.log(64)) / 63)
+        bt = math.exp((math.log(15) - math.log(5)) / 4)
+        for l in range(4):
+            assert enc.level_resolutions[l, 0] == math.floor(64 * bx**l)
+            assert enc.level_resolutions[l, 2] == math.floor(5 * bt**l)
+            assert enc.level_sizes[l] == min(int(enc.level_resolutions[l].max()) ** 3, 2**23)
+
+    def test_paper_growth_and_per_level_scale(self):
+        paper = HashGridEncoding(dim=2, n_levels=4, base_resolution=16, finest_resolution=128,
+                                 growth="paper", log2_hashmap_size=14)
+        b = math.exp((math.log(128) - math.log(16)) / 3)
+        np.testing.assert_array_equal(paper.level_resolutions[:, 0],
+                                      [math.floor(16 * b**l) for l in range(4)])
+        tcnn_style = HashGridEncoding(dim=2, n_levels=3, base_resolution=16,
+                                      finest_resolution=None, per_level_scale=1.5,
+                                      log2_hashmap_size=14)
+        np.testing.assert_array_equal(tcnn_style.level_resolutions[:, 0], [16, 24, 36])
+
+    def test_dim_mismatch_raises(self):
+        with pytest.raises(ValueError, match="axes but dim"):
+            HashGridEncoding(dim=4, n_levels=2, base_resolution=(64, 64, 5), finest_resolution=(352, 352, 15))
+
+    def test_too_many_dims_raises(self):
+        with pytest.raises(ValueError, match="at most"):
+            HashGridEncoding(dim=8, n_levels=2)
+
+
+class TestHashGridForward:
+    def test_output_shape_and_init_range(self):
+        enc = HashGridEncoding(dim=3, n_levels=4, n_features_per_level=2, log2_hashmap_size=14,
+                               base_resolution=4, finest_resolution=32)
+        params = enc.init(jax.random.key(0))
+        assert params["table"].shape == (enc.total_size, 2)
+        t = np.asarray(params["table"])
+        assert np.all(np.abs(t) <= 1e-4) and t.std() > 0
+        out = enc.apply(params, jnp.zeros((10, 3)))
+        assert out.shape == (10, 8)
+
+    def test_interpolation_weights_sum_to_one(self):
+        enc = HashGridEncoding(dim=3, n_levels=3, base_resolution=4, finest_resolution=16,
+                               log2_hashmap_size=10)
+        x = jax.random.uniform(jax.random.key(1), (50, 3))
+        _, w = enc.corner_ids_and_weights(x)
+        np.testing.assert_allclose(np.asarray(w.sum(axis=-1)), 1.0, atol=1e-5)
+
+    def test_grid_point_exact_lookup(self):
+        # At an exact grid point, output == the single hashed corner's feature.
+        enc = HashGridEncoding(dim=2, n_levels=1, n_features_per_level=2,
+                               base_resolution=4, finest_resolution=4, log2_hashmap_size=10)
+        params = enc.init(jax.random.key(2))
+        x = jnp.array([[0.5, 0.75]])  # scaled by res 4 -> corner (2, 3), exact
+        expected_row = numpy_hash_oracle(np.array([[2, 3]]), int(enc.level_sizes[0]))[0]
+        out = np.asarray(enc.apply(params, x))
+        np.testing.assert_allclose(out[0], np.asarray(params["table"])[expected_row], rtol=1e-6)
+
+    def test_continuity_between_grid_points(self):
+        # Multilinear interp: moving epsilon in coords moves output ~linearly.
+        enc = HashGridEncoding(dim=2, n_levels=2, base_resolution=4, finest_resolution=8,
+                               log2_hashmap_size=12)
+        params = enc.init(jax.random.key(3))
+        x0 = jnp.array([[0.3, 0.6]])
+        eps = 1e-4
+        o0 = np.asarray(enc.apply(params, x0))
+        o1 = np.asarray(enc.apply(params, x0 + eps))
+        assert np.abs(o1 - o0).max() < 1e-5  # small step -> small change
+
+    def test_gradients_flow_to_table(self):
+        enc = HashGridEncoding(dim=2, n_levels=2, base_resolution=4, finest_resolution=8,
+                               log2_hashmap_size=12)
+        params = enc.init(jax.random.key(4))
+        x = jax.random.uniform(jax.random.key(5), (20, 2))
+
+        def loss(p):
+            return jnp.sum(enc.apply(p, x) ** 2)
+
+        g = jax.grad(loss)(params)["table"]
+        assert np.asarray(jnp.abs(g).sum()) > 0
+        # Only touched rows get gradient: at most 20 * 2 levels * 4 corners rows.
+        assert int((np.asarray(g) != 0).any(axis=1).sum()) <= 20 * 2 * 4
+
+    def test_4d_input(self):
+        enc = HashGridEncoding(dim=4, n_levels=2, base_resolution=(8, 8, 4, 4),
+                               finest_resolution=(16, 16, 6, 8), log2_hashmap_size=16)
+        params = enc.init(jax.random.key(6))
+        out = enc.apply(params, jax.random.uniform(jax.random.key(7), (11, 4)))
+        assert out.shape == (11, 2 * 2)
