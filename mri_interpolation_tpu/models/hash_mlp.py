@@ -1,0 +1,99 @@
+"""HashMLP — multiresolution hash encoding + small decoder MLP.
+
+Parity target: ``HashMLP`` (reference models.py:658-754), the reference's
+default model (config/base.py:50). Semantics reproduced:
+
+- encoder dispatch: int ``base_resolution`` -> isotropic grid, tuple ->
+  anisotropic per-axis grid (models.py:691-708); both map onto our fused
+  single-table ``HashGridEncoding``;
+- decoder: n_layers blocks of Linear -> BatchNorm1d -> activation -> Dropout
+  (models.py:712-739). As in the reference, the LAST block also applies
+  BatchNorm/activation/Dropout to the dim_out output;
+- ``tcnn``-style configuration (TcnnHashMLP, models.py:587-645 +
+  config/hash_config.json): pass ``per_level_scale`` instead of
+  ``finest_resolution`` and choose ``decoder="relu_plain"`` for the
+  FullyFusedMLP-equivalent plain ReLU decoder (no norm layers).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from ..encodings.hashgrid import HashGridEncoding
+from .core import Model, batchnorm_apply, batchnorm_init, dense, dense_init, dropout
+
+__all__ = ["make_hash_mlp"]
+
+_ACTS = {"gelu": jax.nn.gelu, "relu": jax.nn.relu}
+
+
+def make_hash_mlp(
+    dim_in: int,
+    n_levels: int = 4,
+    n_features_per_level: int = 1,
+    log2_hashmap_size: int = 23,
+    base_resolution: Union[int, Sequence[int]] = (64, 64, 5),
+    finest_resolution: Union[int, Sequence[int], None] = (352, 352, 15),
+    per_level_scale: Optional[float] = None,
+    dim_hidden: int = 64,
+    dim_out: int = 1,
+    n_layers: int = 2,
+    activation: str = "gelu",
+    dropout_rate: float = 0.0,
+    decoder: str = "norm",  # "norm": Linear->BN->act->Dropout | "relu_plain": tcnn-style
+    lr: float = 5e-3,
+    growth: str = "reference",
+) -> Model:
+    act = _ACTS[activation] if decoder == "norm" else jax.nn.relu
+    encoder = HashGridEncoding(
+        dim=dim_in,
+        n_levels=n_levels,
+        n_features_per_level=n_features_per_level,
+        log2_hashmap_size=log2_hashmap_size,
+        base_resolution=base_resolution,
+        finest_resolution=finest_resolution,
+        per_level_scale=per_level_scale,
+        growth=growth,
+    )
+    widths = [encoder.output_dim] + [dim_hidden] * (n_layers - 1) + [dim_out]
+
+    def init(key):
+        keys = jax.random.split(key, n_layers + 1)
+        layers, bn_params, bn_state = [], [], []
+        for i in range(n_layers):
+            layers.append(dense_init(keys[i], widths[i], widths[i + 1]))
+            if decoder == "norm":
+                p, s = batchnorm_init(widths[i + 1])
+                bn_params.append(p)
+                bn_state.append(s)
+        params = {"encoder": encoder.init(keys[-1]), "layers": layers}
+        state = {}
+        if decoder == "norm":
+            params["bn"] = bn_params
+            state = {"bn": bn_state}
+        return params, state
+
+    def apply(params, state, x, train=False, rng=None):
+        z = encoder.apply(params["encoder"], x)
+        new_bn = []
+        rngs = jax.random.split(rng, n_layers) if (rng is not None and dropout_rate > 0) else [None] * n_layers
+        for i in range(n_layers):
+            z = dense(params["layers"][i], z)
+            if decoder == "norm":
+                z, s = batchnorm_apply(params["bn"][i], state["bn"][i], z, train=train)
+                new_bn.append(s)
+                z = act(z)
+                z = dropout(z, dropout_rate, train, rngs[i])
+            elif i < n_layers - 1:
+                # tcnn FullyFusedMLP: ReLU between layers, identity output
+                # (config/hash_config.json:23-27).
+                z = act(z)
+        new_state = {"bn": new_bn} if decoder == "norm" else state
+        return z, new_state
+
+    return Model(init=init, apply=apply, dim_in=dim_in, dim_out=dim_out, name="hash_mlp",
+                 hparams={"lr": lr, "n_levels": n_levels, "encoder": encoder,
+                          "decoder": decoder, "dim_hidden": dim_hidden})

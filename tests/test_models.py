@@ -1,0 +1,260 @@
+"""Model zoo tests: shapes, init statistics, semantics, gradients."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mri_interpolation_tpu.models import (
+    REGISTRY,
+    get_model_factory,
+    make_freq_mlp,
+    make_gabor_net,
+    make_hash_mlp,
+    make_hash_siren,
+    make_mlp,
+    make_modulated_siren,
+    make_multi_hash_mlp,
+    make_multi_siren,
+    make_psf_siren,
+    make_rff_net,
+    make_siren,
+)
+from mri_interpolation_tpu.models.siren import psf_offsets_and_weights
+
+KEY = jax.random.key(0)
+X3 = jax.random.uniform(jax.random.key(1), (32, 3))
+
+
+def _smoke(model, x=X3, **apply_kw):
+    params, state = model.init(KEY)
+    y, new_state = model.apply(params, state, x, train=True, rng=jax.random.key(2), **apply_kw)
+    assert y.shape == (x.shape[0], model.dim_out)
+    assert np.all(np.isfinite(np.asarray(y)))
+    return params, state, y
+
+
+class TestSiren:
+    def test_forward_shape(self):
+        _smoke(make_siren(dim_in=3, dim_hidden=64, n_layers=4))
+
+    def test_init_distributions(self):
+        # First layer U(-1/d, 1/d); later U(-sqrt(6/d)/w0, ...) (models.py:144-151).
+        model = make_siren(dim_in=3, dim_hidden=256, n_layers=4, w0=30.0)
+        params, _ = model.init(KEY)
+        w0_bound = 1.0 / 3
+        first = np.asarray(params["layers"][0]["w"])
+        assert np.abs(first).max() <= w0_bound
+        assert np.abs(first).max() > 0.8 * w0_bound  # actually fills the range
+        later_bound = np.sqrt(6.0 / 256) / 30.0
+        later = np.asarray(params["layers"][1]["w"])
+        assert np.abs(later).max() <= later_bound
+        assert np.abs(later).max() > 0.8 * later_bound
+
+    def test_sine_activation_semantics(self):
+        # One layer, identity-check sin(w0 (Wx+b)).
+        model = make_siren(dim_in=2, dim_hidden=8, n_layers=1, w0_initial=30.0)
+        params, state = model.init(KEY)
+        x = jnp.array([[0.3, -0.2]])
+        z = x @ params["layers"][0]["w"] + params["layers"][0]["b"]
+        hidden = np.sin(30.0 * np.asarray(z))
+        expected = hidden @ np.asarray(params["last"]["w"]) + np.asarray(params["last"]["b"])
+        y, _ = model.apply(params, state, x)
+        np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-5)
+
+    def test_gradients(self):
+        model = make_siren(dim_in=3, dim_hidden=16, n_layers=2)
+        params, state = model.init(KEY)
+
+        def loss(p):
+            y, _ = model.apply(p, state, X3)
+            return jnp.mean(y**2)
+
+        g = jax.grad(loss)(params)
+        assert all(np.isfinite(np.asarray(leaf)).all() for leaf in jax.tree.leaves(g))
+
+
+class TestModulatedSiren:
+    def test_forward(self):
+        _smoke(make_modulated_siren(dim_in=3, dim_hidden=32, n_layers=3))
+
+    def test_modulation_changes_output(self):
+        model = make_modulated_siren(dim_in=3, dim_hidden=16, n_layers=2)
+        params, state = model.init(KEY)
+        y1, _ = model.apply(params, state, X3)
+        # zero the modulator -> ReLU(0 @ w + b)... output must differ
+        params2 = jax.tree.map(lambda p: p, params)
+        params2["modulator"] = jax.tree.map(jnp.zeros_like, params["modulator"])
+        y2, _ = model.apply(params2, state, X3)
+        assert np.abs(np.asarray(y1 - y2)).max() > 0
+
+
+class TestHashSiren:
+    def test_forward(self):
+        _smoke(make_hash_siren(dim_in=3, dim_hidden=16, n_layers=2, n_levels=2,
+                               base_resolution=4, per_level_scale=1.5, log2_hashmap_size=10))
+
+
+class TestMlpFamily:
+    def test_mlp_final_activation_applied(self):
+        # Reference BaseMLP appends ReLU after the last Linear (models.py:46-56).
+        model = make_mlp(dim_in=2, dim_hidden=8, n_layers=2)
+        params, state = model.init(KEY)
+        y, _ = model.apply(params, state, jax.random.normal(jax.random.key(3), (64, 2)))
+        assert np.asarray(y).min() >= 0.0
+
+    def test_rff_net(self):
+        model = make_rff_net(dim_in=3, dim_hidden=16, n_layers=2, n_frequencies=8)
+        params, _, _ = _smoke(model)
+        assert params["encoder"]["b"].shape == (8, 3)
+
+
+class TestHashMLP:
+    def test_forward_and_bn_state_updates(self):
+        model = make_hash_mlp(dim_in=3, n_levels=2, base_resolution=(8, 8, 4),
+                              finest_resolution=(16, 16, 8), log2_hashmap_size=12,
+                              dim_hidden=16, n_layers=2)
+        params, state = model.init(KEY)
+        y, new_state = model.apply(params, state, X3, train=True)
+        assert y.shape == (32, 1)
+        # running stats must move in train mode
+        assert np.abs(np.asarray(new_state["bn"][0]["mean"])).sum() > 0
+        # eval mode: state unchanged
+        y2, eval_state = model.apply(params, new_state, X3, train=False)
+        assert eval_state["bn"][0] is new_state["bn"][0]
+
+    def test_tcnn_style_decoder(self):
+        model = make_hash_mlp(dim_in=3, n_levels=4, base_resolution=16,
+                              finest_resolution=None, per_level_scale=1.4,
+                              log2_hashmap_size=14, dim_hidden=32, n_layers=2,
+                              decoder="relu_plain")
+        params, state = model.init(KEY)
+        assert "bn" not in params
+        y, _ = model.apply(params, state, X3, train=True)
+        # identity output head: values need not be >= 0... but finite
+        assert np.isfinite(np.asarray(y)).all()
+
+    def test_dropout_active_in_train(self):
+        model = make_hash_mlp(dim_in=3, n_levels=2, base_resolution=8, finest_resolution=16,
+                              log2_hashmap_size=10, dim_hidden=64, n_layers=2, dropout_rate=0.5)
+        params, state = model.init(KEY)
+        y1, _ = model.apply(params, state, X3, train=True, rng=jax.random.key(10))
+        y2, _ = model.apply(params, state, X3, train=True, rng=jax.random.key(11))
+        assert np.abs(np.asarray(y1 - y2)).max() > 0
+
+
+class TestGabor:
+    def test_real_gabor_semantics(self):
+        model = make_gabor_net(dim_in=2, dim_hidden=8, n_layers=1, w0=30.0, sigma=10.0)
+        params, state = model.init(KEY)
+        x = jnp.array([[0.1, 0.2]])
+        lyr = params["layers"][0]
+        omega = 30.0 * (np.asarray(x) @ np.asarray(lyr["freqs"]["w"]) + np.asarray(lyr["freqs"]["b"]))
+        scale = (np.asarray(x) @ np.asarray(lyr["scale"]["w"]) + np.asarray(lyr["scale"]["b"])) * 10.0
+        expected = np.cos(omega) * np.exp(-(scale**2))
+        y, _ = model.apply(params, state, x)
+        np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-5, atol=1e-6)
+
+    def test_complex_gabor_real_output(self):
+        model = make_gabor_net(dim_in=3, dim_hidden=8, n_layers=2, kind="complex", w0=10.0, sigma=1.0)
+        params, state = model.init(KEY)
+        y, _ = model.apply(params, state, X3)
+        assert y.dtype == jnp.float32
+
+
+class TestPsfSiren:
+    def test_offsets_and_weights(self):
+        offsets, w = psf_offsets_and_weights((0.1, 0.2, 0.3), n_sample=5)
+        assert offsets.shape == (125, 3) and w.shape == (125,)
+        np.testing.assert_allclose(w.sum(), 1.0, rtol=1e-6)
+        # extremes at +-spacing
+        np.testing.assert_allclose(offsets[0], [-0.1, -0.2, -0.3], rtol=1e-6)
+        np.testing.assert_allclose(offsets[-1], [0.1, 0.2, 0.3], rtol=1e-6)
+        # center weight is the max
+        assert w[62] == w.max()
+
+    def test_loss_fn(self):
+        model = make_psf_siren(dim_in=3, dim_hidden=16, n_layers=2,
+                               coordinates_spacing=(0.01, 0.01, 0.05), n_sample=3)
+        params, state = model.init(KEY)
+        batch = (X3, jnp.zeros((32, 1)))
+        loss, _ = model.loss_fn(params, state, batch, None, True)
+        assert np.isfinite(float(loss)) and float(loss) >= 0
+
+    def test_requires_spacing(self):
+        with pytest.raises(ValueError, match="coordinates_spacing"):
+            make_psf_siren(dim_in=3)
+
+
+class TestFreqMLP:
+    @pytest.mark.parametrize("enc", ["siren", "gabor", "rff", "frequency"])
+    def test_encoder_families(self, enc):
+        model = make_freq_mlp(dim_in=3, dim_hidden=16, n_layers=2, encoder_type=enc,
+                              n_frequencies=8, n_frequencies_t=4, skip_connections=(1,))
+        _smoke(model)
+
+    def test_skip_reinjects_encoding(self):
+        m_skip = make_freq_mlp(dim_in=3, dim_hidden=16, n_layers=3, encoder_type="siren",
+                               n_frequencies=8, n_frequencies_t=4, skip_connections=(1,))
+        params, state = m_skip.init(KEY)
+        # layer 1 input width = enc_dim + hidden
+        assert params["layers"][1]["w"].shape[0] == 12 + 16
+
+    def test_spectral_norm_state_updates(self):
+        model = make_freq_mlp(dim_in=3, dim_hidden=8, n_layers=2, encoder_type="siren",
+                              n_frequencies=4, n_frequencies_t=2)
+        params, state = model.init(KEY)
+        _, new_state = model.apply(params, state, X3, train=True)
+        moved = np.abs(np.asarray(new_state["sn"][0]["u"]) - np.asarray(state["sn"][0]["u"])).max()
+        assert moved > 0
+
+    def test_unknown_encoder_raises(self):
+        with pytest.raises(ValueError, match="encoder_type"):
+            make_freq_mlp(encoder_type="nope")
+
+
+class TestMultiFrame:
+    def test_multi_siren_frame_routing(self):
+        model = make_multi_siren(dim_in=2, dim_hidden=8, n_layers=2, n_frames=3)
+        params, state = model.init(KEY)
+        x = jax.random.uniform(jax.random.key(5), (16, 2))
+        y0, _ = model.apply(params, state, x, frame_idx=0)
+        y1, _ = model.apply(params, state, x, frame_idx=1)
+        assert np.abs(np.asarray(y0 - y1)).max() > 0  # different per-frame encoders
+
+    def test_multi_siren_stacked_params(self):
+        model = make_multi_siren(dim_in=2, dim_hidden=8, n_layers=2, n_frames=3)
+        params, _ = model.init(KEY)
+        assert params["encoders"]["layers"][0]["w"].shape[0] == 3  # leading frame axis
+
+    def test_multi_hash_mlp(self):
+        model = make_multi_hash_mlp(dim_in=2, n_frames=3, n_levels=2, base_resolution=4,
+                                    per_level_scale=1.5, log2_hashmap_size=8, dim_hidden=8, n_layers=2)
+        params, state = model.init(KEY)
+        x = jax.random.uniform(jax.random.key(6), (16, 2))
+        y, _ = model.apply(params, state, x, frame_idx=2)
+        assert y.shape == (16, 1)
+
+    def test_frame_idx_traceable(self):
+        # frame routing must work under jit with a traced index
+        model = make_multi_siren(dim_in=2, dim_hidden=8, n_layers=2, n_frames=3)
+        params, state = model.init(KEY)
+        x = jax.random.uniform(jax.random.key(7), (4, 2))
+
+        @jax.jit
+        def f(idx):
+            y, _ = model.apply(params, state, x, frame_idx=idx)
+            return y
+
+        y = f(jnp.int32(1))
+        assert y.shape == (4, 1)
+
+
+class TestRegistry:
+    def test_all_names_resolve(self):
+        for name in REGISTRY:
+            assert callable(get_model_factory(name))
+
+    def test_unknown_raises(self):
+        with pytest.raises(KeyError):
+            get_model_factory("DoesNotExist")
