@@ -1,0 +1,296 @@
+"""Scan-compiled training runtime.
+
+This replaces the reference's PyTorch-Lightning Trainer + DataLoader stack
+(reference launcher.py:156-165, datamodules.py:198-205) with a TPU-native
+loop:
+
+- the WHOLE dataset lives on device (the ankle volume is ~45 MB as fp32
+  (coords, values) — no DataLoader workers, no per-batch H2D copies);
+- an epoch is ONE jitted ``lax.scan`` over permuted index slices: shuffle,
+  gather, forward/backward, optimizer update all fuse into a single XLA
+  program, so step time is device-bound instead of Python-dispatch-bound;
+- optimizer state, BatchNorm statistics and PRNG keys thread through the scan
+  carry explicitly; buffers are donated across epochs.
+
+Reference feature parity: Adam (+torch-style weight_decay routed through the
+moments), optional cosine-annealing schedule (the dead ``lr_schedulers`` at
+models.py:76-80, made real), gradient accumulation (launcher.py:38-43),
+deterministic seeding (launcher.py:30), per-step train-loss history
+(``self.log("train_loss")``), and decoder freezing for the two-phase hash
+protocol (legacy_code/hash_experimentation.py:357-384).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.core import Model
+from .losses import get_loss
+
+__all__ = ["TrainConfig", "TrainResult", "Trainer", "make_optimizer"]
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 10000          # HashConfig default (config/base.py:63)
+    epochs: int = 1                  # (config/base.py:64)
+    lr: float = 5e-3                 # (config/base.py:83)
+    weight_decay: float = 0.0
+    seed: int = 1337                 # (launcher.py:30)
+    optimizer: str = "adam"          # "adam" | "adam_tcnn" (hash_config.json:5-12)
+    lr_schedule: Optional[str] = None  # None | "cosine" (T_max epochs)
+    cosine_t_max: int = 10
+    accumulate_grad_batches: int = 1
+    loss: str = "mse"                # "mse" | "relative_l2"
+    shuffle: bool = True
+
+
+@dataclass
+class TrainResult:
+    params: Any
+    state: Any
+    opt_state: Any
+    losses: np.ndarray               # per-step train loss
+    wall_time_s: float
+    steps_per_sec: float
+    steps: int
+    epoch_times_s: np.ndarray = field(default_factory=lambda: np.array([]))
+
+    @property
+    def final_loss(self) -> float:
+        return float(self.losses[-1]) if len(self.losses) else float("nan")
+
+    @property
+    def steady_steps_per_sec(self) -> float:
+        """Steps/sec excluding the first (compile-bearing) epoch."""
+        if len(self.epoch_times_s) <= 1:
+            return self.steps_per_sec
+        steady = self.epoch_times_s[1:]
+        steps_per_epoch = self.steps / len(self.epoch_times_s)
+        return float(steps_per_epoch * len(steady) / steady.sum())
+
+
+def make_optimizer(cfg: TrainConfig, n_steps_per_epoch: int = 1):
+    """Build the optax transform matching the requested torch/tcnn semantics."""
+    if cfg.lr_schedule == "cosine":
+        # CosineAnnealingLR(T_max): eta(t) = lr * (1 + cos(pi t / T_max)) / 2,
+        # stepped per epoch in torch-land -> per-epoch boundaries here.
+        schedule = optax.cosine_decay_schedule(
+            init_value=cfg.lr, decay_steps=max(cfg.cosine_t_max * n_steps_per_epoch, 1)
+        )
+    else:
+        schedule = cfg.lr
+
+    if cfg.optimizer == "adam":
+        core = optax.adam(schedule)  # b1=0.9, b2=0.999, eps=1e-8 == torch defaults
+    elif cfg.optimizer == "adam_tcnn":
+        # tcnn Adam config: beta2=0.99, eps=1e-15 (config/hash_config.json:6-11).
+        core = optax.adam(schedule, b1=0.9, b2=0.99, eps=1e-15)
+    else:
+        raise KeyError(f"unknown optimizer {cfg.optimizer!r}")
+
+    parts = []
+    if cfg.weight_decay > 0.0:
+        # torch Adam(weight_decay=wd) adds wd*param to the gradient BEFORE the
+        # moment estimates — i.e. L2-reg, not AdamW (models.py:931,998).
+        parts.append(optax.add_decayed_weights(cfg.weight_decay))
+    parts.append(core)
+    tx = optax.chain(*parts)
+    if cfg.accumulate_grad_batches > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.accumulate_grad_batches)
+    return tx
+
+
+class Trainer:
+    """Fits a Model to a device-resident (coords, values) regression set."""
+
+    def __init__(self, config: TrainConfig, freeze_mask_fn: Optional[Callable] = None):
+        self.config = config
+        self.freeze_mask_fn = freeze_mask_fn
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self, model: Model):
+        base_loss = get_loss(self.config.loss)
+
+        def loss_fn(params, state, batch, rng):
+            if model.loss_fn is not None:
+                return model.loss_fn(params, state, batch, rng, True)
+            x, y = batch
+            y_pred, new_state = model.apply(params, state, x, train=True, rng=rng)
+            return base_loss(y_pred, y), new_state
+
+        return loss_fn
+
+    def _wrap_freeze(self, tx, params):
+        if self.freeze_mask_fn is None:
+            return tx
+        # mask: True = trainable. Frozen leaves get zero updates
+        # (the two-phase hash protocol's decoder freeze,
+        # hash_experimentation.py:371-373).
+        mask = self.freeze_mask_fn(params)
+        return optax.chain(
+            optax.masked(optax.set_to_zero(), jax.tree.map(lambda t: not t, mask)),
+            tx,
+        )
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        model: Model,
+        coords: np.ndarray,
+        values: np.ndarray,
+        params=None,
+        state=None,
+        donate: bool = True,
+    ) -> TrainResult:
+        cfg = self.config
+        n = len(coords)
+        batch = min(cfg.batch_size, n)
+        steps_per_epoch = n // batch
+        if steps_per_epoch == 0:
+            raise ValueError(f"batch_size {batch} exceeds dataset size {n}")
+
+        key = jax.random.key(cfg.seed)
+        if params is None:
+            key, k_init = jax.random.split(key)
+            params, state = model.init(k_init)
+        state = state if state is not None else {}
+
+        tx = make_optimizer(cfg, steps_per_epoch)
+        tx = self._wrap_freeze(tx, params)
+        opt_state = tx.init(params)
+
+        loss_fn = self._loss_fn(model)
+
+        coords = jax.device_put(jnp.asarray(coords, dtype=jnp.float32))
+        values = jax.device_put(jnp.asarray(values, dtype=jnp.float32))
+
+        def epoch_fn(params, state, opt_state, epoch_key):
+            """One epoch: permute -> scan over batches. Traced once."""
+            if cfg.shuffle:
+                perm_key, step_key0 = jax.random.split(epoch_key)
+                perm = jax.random.permutation(perm_key, n)
+            else:
+                step_key0 = epoch_key
+                perm = jnp.arange(n)
+            idx = perm[: steps_per_epoch * batch].reshape(steps_per_epoch, batch)
+
+            def body(carry, batch_idx):
+                params, state, opt_state, k = carry
+                k, k_step = jax.random.split(k)
+                xb = jnp.take(coords, batch_idx, axis=0)
+                yb = jnp.take(values, batch_idx, axis=0)
+                (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, state, (xb, yb), k_step
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, new_state, opt_state, k), loss
+
+            (params, state, opt_state, _), losses = jax.lax.scan(
+                body, (params, state, opt_state, step_key0), idx
+            )
+            return params, state, opt_state, losses
+
+        donate_argnums = (0, 1, 2) if donate else ()
+        epoch_jit = jax.jit(epoch_fn, donate_argnums=donate_argnums)
+
+        all_losses = []
+        epoch_times = []
+        t0 = time.perf_counter()
+        for _ in range(cfg.epochs):
+            key, ek = jax.random.split(key)
+            te = time.perf_counter()
+            params, state, opt_state, losses = epoch_jit(params, state, opt_state, ek)
+            jax.block_until_ready(losses)
+            epoch_times.append(time.perf_counter() - te)
+            all_losses.append(losses)
+        jax.block_until_ready(params)
+        wall = time.perf_counter() - t0
+
+        losses_np = np.concatenate([np.asarray(l) for l in all_losses]) if all_losses else np.array([])
+        total_steps = cfg.epochs * steps_per_epoch
+        return TrainResult(
+            params=params,
+            state=state,
+            opt_state=opt_state,
+            losses=losses_np,
+            wall_time_s=wall,
+            steps_per_sec=total_steps / wall if wall > 0 else float("inf"),
+            steps=total_steps,
+            epoch_times_s=np.asarray(epoch_times),
+        )
+
+    # ------------------------------------------------------------------
+    def fit_frames(
+        self,
+        model: Model,
+        frame_coords: np.ndarray,  # (T, N, d) or (N, d) shared across frames
+        frame_values: np.ndarray,  # (T, N, 1)
+        params=None,
+        state=None,
+    ) -> TrainResult:
+        """Frame-indexed fitting for the multi-frame models: one optimization
+        step per whole frame, frames visited in order each epoch (reference
+        MriFramesDataModule semantics: batch = one frame, shuffle=False —
+        datamodules.py:256-296,353-359)."""
+        cfg = self.config
+        n_frames = frame_values.shape[0]
+        shared_coords = frame_coords.ndim == 2
+
+        key = jax.random.key(cfg.seed)
+        if params is None:
+            key, k_init = jax.random.split(key)
+            params, state = model.init(k_init)
+        state = state if state is not None else {}
+
+        tx = make_optimizer(cfg, n_frames)
+        tx = self._wrap_freeze(tx, params)
+        opt_state = tx.init(params)
+        base_loss = get_loss(cfg.loss)
+
+        fc = jax.device_put(jnp.asarray(frame_coords, dtype=jnp.float32))
+        fv = jax.device_put(jnp.asarray(frame_values, dtype=jnp.float32))
+
+        def epoch_fn(params, state, opt_state, epoch_key):
+            def body(carry, frame_idx):
+                params, state, opt_state, k = carry
+                k, k_step = jax.random.split(k)
+                x = fc if shared_coords else fc[frame_idx]
+                y = fv[frame_idx]
+
+                def loss_fn(p, s):
+                    y_pred, new_s = model.apply(p, s, x, train=True, rng=k_step, frame_idx=frame_idx)
+                    return base_loss(y_pred, y), new_s
+
+                (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, state)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, new_state, opt_state, k), loss
+
+            (params, state, opt_state, _), losses = jax.lax.scan(
+                body, (params, state, opt_state, epoch_key), jnp.arange(n_frames)
+            )
+            return params, state, opt_state, losses
+
+        epoch_jit = jax.jit(epoch_fn, donate_argnums=(0, 1, 2))
+
+        all_losses = []
+        t0 = time.perf_counter()
+        for _ in range(cfg.epochs):
+            key, ek = jax.random.split(key)
+            params, state, opt_state, losses = epoch_jit(params, state, opt_state, ek)
+            all_losses.append(losses)
+        jax.block_until_ready(params)
+        wall = time.perf_counter() - t0
+        losses_np = np.concatenate([np.asarray(l) for l in all_losses])
+        total = cfg.epochs * n_frames
+        return TrainResult(params, state, opt_state, losses_np, wall, total / wall if wall else float("inf"), total)

@@ -1,0 +1,82 @@
+"""Inference tests: on-device coordinate synthesis, grid eval, classical baseline."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mri_interpolation_tpu.infer import (
+    evaluate_grid,
+    flat_index_to_coords,
+    linear_interpolate_volume,
+    predict_batched,
+)
+from mri_interpolation_tpu.io import flat_coords, synthetic_volume
+from mri_interpolation_tpu.models import make_siren
+import jax
+
+
+class TestFlatIndexToCoords:
+    @pytest.mark.parametrize("shape", [(5, 7), (4, 3, 6), (3, 4, 2, 5)])
+    def test_matches_meshgrid(self, shape):
+        n = int(np.prod(shape))
+        got = np.asarray(flat_index_to_coords(jnp.arange(n), shape))
+        expected = flat_coords(shape)
+        np.testing.assert_allclose(got, expected, atol=1e-6)
+
+    def test_custom_range(self):
+        got = np.asarray(flat_index_to_coords(jnp.arange(6), (2, 3), lo=-1.0, hi=1.0))
+        expected = flat_coords((2, 3), lo=-1.0)
+        np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+class TestEvaluateGrid:
+    def test_matches_direct_apply(self):
+        model = make_siren(dim_in=3, dim_hidden=16, n_layers=2)
+        params, state = model.init(jax.random.key(0))
+        shape = (9, 10, 11)
+        vol = evaluate_grid(model, params, state, shape, chunk_size=128)
+        assert vol.shape == shape
+        coords = flat_coords(shape)
+        direct, _ = model.apply(params, state, jnp.asarray(coords))
+        np.testing.assert_allclose(vol.reshape(-1), np.asarray(direct)[:, 0], atol=1e-5)
+
+    def test_nondivisible_chunking(self):
+        model = make_siren(dim_in=2, dim_hidden=8, n_layers=2)
+        params, state = model.init(jax.random.key(1))
+        vol = evaluate_grid(model, params, state, (7, 13), chunk_size=32)  # 91 % 32 != 0
+        assert vol.shape == (7, 13)
+
+    def test_predict_batched_matches(self):
+        model = make_siren(dim_in=2, dim_hidden=8, n_layers=2)
+        params, state = model.init(jax.random.key(2))
+        coords = flat_coords((6, 6))
+        out = predict_batched(model, params, state, coords, chunk_size=10)
+        direct, _ = model.apply(params, state, jnp.asarray(coords))
+        np.testing.assert_allclose(out, np.asarray(direct), atol=1e-6)
+
+
+class TestClassicalBaseline:
+    def test_identity_resample(self):
+        vol = synthetic_volume((6, 6, 6), seed=0)
+        out = linear_interpolate_volume(vol, (6, 6, 6))
+        np.testing.assert_allclose(out, vol, atol=1e-5)
+
+    def test_upsample_endpoints_exact(self):
+        vol = synthetic_volume((4, 4), seed=1)
+        out = linear_interpolate_volume(vol, (7, 7))
+        np.testing.assert_allclose(out[0, 0], vol[0, 0], atol=1e-6)
+        np.testing.assert_allclose(out[-1, -1], vol[-1, -1], atol=1e-6)
+        # odd midpoints are averages of neighbors along the axis
+        np.testing.assert_allclose(out[1, 0], (vol[0, 0] + vol[1, 0]) / 2, atol=1e-6)
+
+    def test_temporal_doubling_hits_source_frames(self):
+        # The reference protocol: even output frames == source frames.
+        vol = synthetic_volume((5, 5, 4), seed=2)
+        out = linear_interpolate_volume(vol, (5, 5, 7))
+        np.testing.assert_allclose(out[..., 0], vol[..., 0], atol=1e-6)
+        np.testing.assert_allclose(out[..., 2], vol[..., 1], atol=1e-6)
+        np.testing.assert_allclose(out[..., 6], vol[..., 3], atol=1e-6)
+
+    def test_rank_mismatch_raises(self):
+        with pytest.raises(ValueError, match="rank"):
+            linear_interpolate_volume(np.zeros((4, 4)), (4, 4, 4))

@@ -1,0 +1,161 @@
+"""Trainer tests: convergence, determinism, schedules, freezing, checkpoints."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mri_interpolation_tpu.io import dataset_from_array, synthetic_volume
+from mri_interpolation_tpu.metrics import psnr
+from mri_interpolation_tpu.models import (
+    make_hash_mlp,
+    make_multi_siren,
+    make_psf_siren,
+    make_siren,
+)
+from mri_interpolation_tpu.train import (
+    TrainConfig,
+    Trainer,
+    make_optimizer,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+@pytest.fixture(scope="module")
+def small_dataset():
+    vol = synthetic_volume((12, 12, 12), seed=7)
+    ds = dataset_from_array(vol, zero_centered=True)
+    return ds
+
+
+class TestFit:
+    def test_siren_converges(self, small_dataset):
+        model = make_siren(dim_in=3, dim_hidden=32, n_layers=3, lr=1e-4)
+        cfg = TrainConfig(batch_size=512, epochs=40, lr=1e-3, seed=0)
+        result = Trainer(cfg).fit(model, small_dataset.coords, small_dataset.values)
+        assert result.losses[-1] < result.losses[0] * 0.3
+        assert result.steps == 40 * (len(small_dataset) // 512)
+
+    def test_deterministic_given_seed(self, small_dataset):
+        model = make_siren(dim_in=3, dim_hidden=16, n_layers=2)
+        cfg = TrainConfig(batch_size=512, epochs=2, lr=1e-3, seed=42)
+        r1 = Trainer(cfg).fit(model, small_dataset.coords, small_dataset.values)
+        r2 = Trainer(cfg).fit(model, small_dataset.coords, small_dataset.values)
+        np.testing.assert_array_equal(r1.losses, r2.losses)
+
+    def test_hash_mlp_with_state(self, small_dataset):
+        model = make_hash_mlp(dim_in=3, n_levels=2, base_resolution=4, finest_resolution=12,
+                              log2_hashmap_size=10, dim_hidden=16, n_layers=2)
+        cfg = TrainConfig(batch_size=512, epochs=3, lr=5e-3)
+        result = Trainer(cfg).fit(model, small_dataset.coords, small_dataset.values)
+        # BatchNorm running stats must have moved
+        assert np.abs(np.asarray(result.state["bn"][0]["mean"])).sum() > 0
+
+    def test_psf_model_custom_loss(self, small_dataset):
+        model = make_psf_siren(dim_in=3, dim_hidden=16, n_layers=2,
+                               coordinates_spacing=(0.02, 0.02, 0.02), n_sample=3)
+        cfg = TrainConfig(batch_size=256, epochs=2, lr=1e-4)
+        result = Trainer(cfg).fit(model, small_dataset.coords, small_dataset.values)
+        assert np.isfinite(result.losses).all()
+
+    def test_batch_clamped_to_dataset(self):
+        # batch_size > N clamps to full-batch training rather than erroring.
+        model = make_siren(dim_in=2, dim_hidden=8, n_layers=2)
+        cfg = TrainConfig(batch_size=10, epochs=2)
+        r = Trainer(cfg).fit(model, np.zeros((5, 2), np.float32), np.zeros((5, 1), np.float32))
+        assert r.steps == 2  # one full-batch step per epoch
+
+    def test_relative_l2_loss(self, small_dataset):
+        model = make_siren(dim_in=3, dim_hidden=16, n_layers=2)
+        cfg = TrainConfig(batch_size=512, epochs=1, loss="relative_l2")
+        result = Trainer(cfg).fit(model, small_dataset.coords, small_dataset.values)
+        assert np.isfinite(result.losses).all()
+
+    def test_grad_accumulation(self, small_dataset):
+        model = make_siren(dim_in=3, dim_hidden=16, n_layers=2)
+        cfg = TrainConfig(batch_size=256, epochs=2, accumulate_grad_batches=2)
+        result = Trainer(cfg).fit(model, small_dataset.coords, small_dataset.values)
+        assert np.isfinite(result.losses).all()
+
+
+class TestOptimizer:
+    def test_unknown_optimizer_raises(self):
+        with pytest.raises(KeyError):
+            make_optimizer(TrainConfig(optimizer="sgd"))
+
+    def test_cosine_schedule_builds(self):
+        tx = make_optimizer(TrainConfig(lr_schedule="cosine"), n_steps_per_epoch=10)
+        params = {"w": jnp.ones(3)}
+        state = tx.init(params)
+        u, _ = tx.update({"w": jnp.ones(3)}, state, params)
+        assert np.isfinite(np.asarray(u["w"])).all()
+
+    def test_weight_decay_changes_updates(self):
+        params = {"w": jnp.full((3,), 10.0)}
+        g = {"w": jnp.zeros(3)}
+        tx_wd = make_optimizer(TrainConfig(weight_decay=0.1))
+        u, _ = tx_wd.update(g, tx_wd.init(params), params)
+        # zero grad + wd -> nonzero update pulling toward 0
+        assert np.abs(np.asarray(u["w"])).max() > 0
+
+
+class TestFreeze:
+    def test_frozen_leaves_unchanged(self, small_dataset):
+        model = make_hash_mlp(dim_in=3, n_levels=2, base_resolution=4, finest_resolution=12,
+                              log2_hashmap_size=10, dim_hidden=16, n_layers=2)
+
+        def freeze_decoder(params):
+            # True = trainable. Freeze every decoder layer (the two-phase
+            # protocol: freeze decoder, keep training the hash tables).
+            return jax.tree.map(lambda _: True, params) | {
+                "layers": jax.tree.map(lambda _: False, params["layers"])
+            }
+
+        cfg = TrainConfig(batch_size=512, epochs=2, lr=5e-3)
+        trainer = Trainer(cfg, freeze_mask_fn=freeze_decoder)
+        key = jax.random.key(0)
+        params0, state0 = model.init(key)
+        result = trainer.fit(model, small_dataset.coords, small_dataset.values,
+                             params=jax.tree.map(jnp.copy, params0), state=state0, donate=False)
+        for a, b in zip(jax.tree.leaves(params0["layers"]), jax.tree.leaves(result.params["layers"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # encoder must still have trained
+        assert np.abs(np.asarray(result.params["encoder"]["table"]) - np.asarray(params0["encoder"]["table"])).max() > 0
+
+
+class TestFitFrames:
+    def test_multi_siren_frames(self):
+        frames = synthetic_volume((8, 8, 4), seed=3)  # (x, y, t=4)
+        coords = dataset_from_array(frames[..., 0]).coords  # shared (x,y) grid
+        values = np.stack([frames[..., t].reshape(-1, 1) for t in range(4)])
+        model = make_multi_siren(dim_in=2, dim_hidden=16, n_layers=2, n_frames=4)
+        cfg = TrainConfig(epochs=3, lr=1e-4, weight_decay=1e-5)
+        result = Trainer(cfg).fit_frames(model, coords, values)
+        assert result.losses.shape == (12,)
+        assert np.isfinite(result.losses).all()
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path, small_dataset):
+        model = make_siren(dim_in=3, dim_hidden=16, n_layers=2)
+        cfg = TrainConfig(batch_size=512, epochs=1)
+        result = Trainer(cfg).fit(model, small_dataset.coords, small_dataset.values)
+        path = save_checkpoint(str(tmp_path / "ckpt"), step=result.steps, params=result.params)
+        restored = restore_checkpoint(str(tmp_path / "ckpt"))
+        for a, b in zip(jax.tree.leaves(result.params), jax.tree.leaves(restored["params"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_resume_continues_training(self, tmp_path, small_dataset):
+        model = make_siren(dim_in=3, dim_hidden=16, n_layers=2)
+        cfg = TrainConfig(batch_size=512, epochs=2, lr=1e-3)
+        r1 = Trainer(cfg).fit(model, small_dataset.coords, small_dataset.values)
+        save_checkpoint(str(tmp_path / "c"), step=r1.steps, params=r1.params)
+        restored = restore_checkpoint(str(tmp_path / "c"))
+        r2 = Trainer(cfg).fit(model, small_dataset.coords, small_dataset.values,
+                              params=restored["params"], state={})
+        assert r2.losses.mean() <= r1.losses.mean()
+
+    def test_missing_dir_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            restore_checkpoint(str(tmp_path / "nope"))
