@@ -1,0 +1,312 @@
+"""Data-parallel fitting and sharded inference over a device mesh.
+
+Recipe (the scaling-book pattern): replicate parameters, shard each step's
+voxel batch across the ``data`` axis, compute local gradients, ``pmean`` them
+over ICI inside ``shard_map``, apply the identical optimizer update on every
+device. The dataset itself is replicated (a whole 4D MRI volume is ~45 MB as
+fp32 (coords, values) — far below HBM), so per-step batch selection stays a
+local gather and the global-shuffle semantics match the single-device trainer
+exactly: same seed => same permutation => same batches, just evaluated on
+n_devices shards.
+
+Also here: multi-volume batched fitting (one INR per volume, volumes sharded
+across the mesh — BASELINE.json config #5) and the sharded dense-grid
+evaluator.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..infer.grid import flat_index_to_coords
+from ..models.core import Model
+from ..train.losses import get_loss
+from ..train.trainer import TrainConfig, TrainResult, make_optimizer
+
+__all__ = ["DataParallelTrainer", "fit_multi_volume", "evaluate_grid_sharded"]
+
+import optax
+
+
+class DataParallelTrainer:
+    """Data-parallel version of ``train.Trainer.fit``.
+
+    Per-step batch is split across the mesh's ``data`` axis; gradients (and
+    auxiliary state, e.g. BatchNorm batch statistics) are averaged with
+    ``pmean`` over ICI before the replicated optimizer update.
+    """
+
+    def __init__(self, config: TrainConfig, mesh: Optional[Mesh] = None, axis_name: str = "data"):
+        self.config = config
+        self.axis = axis_name
+        if mesh is None:
+            from .mesh import make_mesh
+
+            mesh = make_mesh(axis_name=axis_name)
+        self.mesh = mesh
+        self.n_devices = mesh.devices.size
+
+    def fit(self, model: Model, coords: np.ndarray, values: np.ndarray, params=None, state=None) -> TrainResult:
+        cfg = self.config
+        n = len(coords)
+        ndev = self.n_devices
+        # Global batch divisible by device count.
+        batch = min(cfg.batch_size, n)
+        batch -= batch % ndev
+        if batch == 0:
+            raise ValueError(f"batch_size {cfg.batch_size} < n_devices {ndev}")
+        steps_per_epoch = n // batch
+        if steps_per_epoch == 0:
+            raise ValueError(f"batch {batch} exceeds dataset size {n}")
+        local_batch = batch // ndev
+
+        key = jax.random.key(cfg.seed)
+        if params is None:
+            key, k_init = jax.random.split(key)
+            params, state = model.init(k_init)
+        state = state if state is not None else {}
+
+        tx = make_optimizer(cfg, steps_per_epoch)
+        opt_state = tx.init(params)
+        base_loss = get_loss(cfg.loss)
+        axis = self.axis
+
+        repl = NamedSharding(self.mesh, P())
+        coords = jax.device_put(jnp.asarray(coords, jnp.float32), repl)
+        values = jax.device_put(jnp.asarray(values, jnp.float32), repl)
+        params = jax.device_put(params, repl)
+        state = jax.device_put(state, repl)
+        opt_state = jax.device_put(opt_state, repl)
+
+        def epoch_shard(params, state, opt_state, epoch_key):
+            """Runs on each device with its (steps, local_batch) index shard."""
+            perm_key, k0 = jax.random.split(epoch_key)
+            perm = jax.random.permutation(perm_key, n)  # same key -> same perm on all devices
+            my = jax.lax.axis_index(axis)
+            # global batch layout: (steps, ndev, local_batch); this device
+            # takes column `my`.
+            idx = perm[: steps_per_epoch * batch].reshape(steps_per_epoch, ndev, local_batch)[:, my]
+
+            def body(carry, batch_idx):
+                params, state, opt_state, k = carry
+                k, k_step = jax.random.split(k)
+                xb = jnp.take(coords, batch_idx, axis=0)
+                yb = jnp.take(values, batch_idx, axis=0)
+
+                def loss_fn(p, s):
+                    if model.loss_fn is not None:
+                        return model.loss_fn(p, s, (xb, yb), k_step, True)
+                    y_pred, ns = model.apply(p, s, xb, train=True, rng=k_step)
+                    return base_loss(y_pred, yb), ns
+
+                (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, state)
+                # ICI collectives: average grads/statistics across the mesh.
+                grads = jax.lax.pmean(grads, axis)
+                new_state = jax.lax.pmean(new_state, axis) if new_state else new_state
+                loss = jax.lax.pmean(loss, axis)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, new_state, opt_state, k), loss
+
+            (params, state, opt_state, _), losses = jax.lax.scan(
+                body, (params, state, opt_state, k0), idx
+            )
+            return params, state, opt_state, losses
+
+        smap = shard_map(
+            epoch_shard,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+        epoch_jit = jax.jit(smap, donate_argnums=(0, 1, 2))
+
+        all_losses, epoch_times = [], []
+        t0 = time.perf_counter()
+        for _ in range(cfg.epochs):
+            key, ek = jax.random.split(key)
+            te = time.perf_counter()
+            params, state, opt_state, losses = epoch_jit(params, state, opt_state, ek)
+            jax.block_until_ready(losses)
+            epoch_times.append(time.perf_counter() - te)
+            all_losses.append(losses)
+        wall = time.perf_counter() - t0
+
+        losses_np = np.concatenate([np.asarray(l) for l in all_losses])
+        total_steps = cfg.epochs * steps_per_epoch
+        return TrainResult(
+            params=params,
+            state=state,
+            opt_state=opt_state,
+            losses=losses_np,
+            wall_time_s=wall,
+            steps_per_sec=total_steps / wall if wall else float("inf"),
+            steps=total_steps,
+            epoch_times_s=np.asarray(epoch_times),
+        )
+
+
+# ---------------------------------------------------------------------------
+
+
+def fit_multi_volume(
+    model: Model,
+    coords: np.ndarray,       # (N, d) shared coordinate grid
+    values: np.ndarray,       # (V, N, 1) one intensity set per volume
+    config: TrainConfig,
+    mesh: Optional[Mesh] = None,
+) -> TrainResult:
+    """Fit one INR per volume, volumes sharded across the mesh.
+
+    BASELINE.json config "Multi-volume batched fitting": per-volume parameter
+    pytrees are stacked on a leading axis and sharded over ``data``; the
+    whole-epoch program is vmapped over that axis, so every device fits its
+    own subset of volumes with zero cross-device traffic.
+    """
+    if mesh is None:
+        from .mesh import make_mesh
+
+        mesh = make_mesh()
+    ndev = mesh.devices.size
+    n_volumes = values.shape[0]
+    if n_volumes % ndev != 0:
+        raise ValueError(f"n_volumes {n_volumes} must be divisible by mesh size {ndev}")
+    n = len(coords)
+    batch = min(config.batch_size, n)
+    steps_per_epoch = n // batch
+
+    key = jax.random.key(config.seed)
+    key, k_init = jax.random.split(key)
+    init_keys = jax.random.split(k_init, n_volumes)
+    params, state = jax.vmap(model.init)(init_keys)  # stacked pytrees
+
+    tx = make_optimizer(config, steps_per_epoch)
+    opt_state = jax.vmap(tx.init)(params)
+    base_loss = get_loss(config.loss)
+
+    vol_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(params, jax.tree.map(lambda _: vol_sharding, params))
+    coords_d = jax.device_put(jnp.asarray(coords, jnp.float32), repl)
+    values_d = jax.device_put(jnp.asarray(values, jnp.float32), vol_sharding)
+
+    def epoch_one_volume(params, state, opt_state, vol_values, epoch_key):
+        perm_key, k0 = jax.random.split(epoch_key)
+        perm = jax.random.permutation(perm_key, n)
+        idx = perm[: steps_per_epoch * batch].reshape(steps_per_epoch, batch)
+
+        def body(carry, batch_idx):
+            params, state, opt_state, k = carry
+            k, k_step = jax.random.split(k)
+            xb = jnp.take(coords_d, batch_idx, axis=0)
+            yb = jnp.take(vol_values, batch_idx, axis=0)
+
+            def loss_fn(p, s):
+                y_pred, ns = model.apply(p, s, xb, train=True, rng=k_step)
+                return base_loss(y_pred, yb), ns
+
+            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, state)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_state, opt_state, k), loss
+
+        (params, state, opt_state, _), losses = jax.lax.scan(body, (params, state, opt_state, k0), idx)
+        return params, state, opt_state, losses
+
+    vm = jax.vmap(epoch_one_volume, in_axes=(0, 0, 0, 0, 0))
+    epoch_jit = jax.jit(vm, donate_argnums=(0, 1, 2))
+
+    all_losses, epoch_times = [], []
+    t0 = time.perf_counter()
+    for _ in range(config.epochs):
+        key, ek = jax.random.split(key)
+        eks = jax.random.split(ek, n_volumes)
+        te = time.perf_counter()
+        params, state, opt_state, losses = epoch_jit(params, state, opt_state, values_d, eks)
+        jax.block_until_ready(losses)
+        epoch_times.append(time.perf_counter() - te)
+        all_losses.append(losses)  # (V, steps)
+    wall = time.perf_counter() - t0
+
+    losses_np = np.concatenate([np.asarray(l) for l in all_losses], axis=-1)  # (V, total_steps)
+    total_steps = config.epochs * steps_per_epoch
+    return TrainResult(
+        params=params,
+        state=state,
+        opt_state=opt_state,
+        losses=losses_np,
+        wall_time_s=wall,
+        steps_per_sec=total_steps * n_volumes / wall if wall else float("inf"),
+        steps=total_steps,
+        epoch_times_s=np.asarray(epoch_times),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def evaluate_grid_sharded(
+    model: Model,
+    params,
+    state,
+    shape: Sequence[int],
+    mesh: Optional[Mesh] = None,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    chunk_size: int = 1 << 17,
+) -> np.ndarray:
+    """Dense-grid evaluation with chunks sharded across the mesh.
+
+    The grid's flat index space is split into per-device stripes; each device
+    synthesizes its own coordinates (no host grid, no transfers) and runs the
+    chunked forward locally; results concatenate on the host. Parity surface:
+    launcher.py:191-222's interp loop, at multi-chip scale.
+    """
+    if mesh is None:
+        from .mesh import make_mesh
+
+        mesh = make_mesh()
+    ndev = mesh.devices.size
+    shape = tuple(int(s) for s in shape)
+    n = int(np.prod(shape))
+    chunk_size = min(chunk_size, -(-n // ndev))
+    chunks_per_dev = -(-n // (ndev * chunk_size))
+    padded = ndev * chunks_per_dev * chunk_size
+
+    starts = (jnp.arange(ndev * chunks_per_dev) * chunk_size).reshape(ndev, chunks_per_dev)
+    starts = jax.device_put(starts, NamedSharding(mesh, P("data")))
+    repl = NamedSharding(mesh, P())
+    params = jax.device_put(params, repl)
+    state = jax.device_put(state, repl)
+
+    def eval_chunk(start):
+        flat = start + jnp.arange(chunk_size)
+        flat = jnp.minimum(flat, n - 1)
+        x = flat_index_to_coords(flat, shape, lo, hi)
+        y, _ = model.apply(params, state, x, train=False, rng=None)
+        return y
+
+    def device_fn(my_starts):  # (1, chunks_per_dev) shard
+        return jax.lax.map(eval_chunk, my_starts.reshape(-1)).reshape(1, -1)
+
+    smap = shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(P("data"),),
+        out_specs=P("data"),
+        check_vma=False,
+    )
+    out = jax.jit(smap)(starts)
+    out = np.asarray(out).reshape(padded, -1)[:n]
+    if out.shape[-1] == 1:
+        return out.reshape(shape)
+    return out.reshape(shape + (out.shape[-1],))
