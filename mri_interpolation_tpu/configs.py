@@ -1,0 +1,224 @@
+"""Typed run configuration: dataclasses + JSON/flag overrides + provenance.
+
+Parity targets:
+- ``BaseConfig`` / ``HashConfig`` dataclasses (reference config/base.py:17-89)
+  — same knobs and defaults, minus the reference's import-time NIfTI IO
+  (``image_shape = nib.load(...)`` at class-definition time,
+  config/base.py:22,61): here shape-derived fields resolve lazily at run time;
+- the tcnn-style JSON encoding config (config/hash_config.json) via
+  ``apply_enco_config``;
+- CLI override merge (launcher.py:77-80) via ``override`` /
+  ``add_config_flags``;
+- ``export_to_txt`` provenance dump (config/base.py:52-55), re-parseable by
+  the figure script (figure_script.py:33-44).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field, fields
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+__all__ = [
+    "RunConfig",
+    "default_hash_config",
+    "default_siren_config",
+    "load_json_config",
+    "apply_enco_config",
+    "add_config_flags",
+    "override_from_args",
+    "export_to_txt",
+    "parse_config_txt",
+]
+
+
+@dataclass
+class RunConfig:
+    # --- data (L1)
+    image_path: str = "sample_ankle_dyn_mri.nii.gz"
+    slice_z: Optional[int] = None        # take (x,y,t) slice at this z (test_script.py:20 protocol)
+    even_frames_only: bool = False       # train on data[..., ::2] (hash_experimentation.py:313-317)
+    zero_centered: bool = False          # norm_siren: coords/values in [-1,1] (datamodules.py:141-161)
+
+    # --- training (L4)
+    batch_size: int = 10000              # HashConfig (config/base.py:63)
+    epochs: int = 1
+    lr: float = 5e-3
+    weight_decay: float = 0.0
+    accumulate_grad_batches: int = 1     # (launcher.py:38-43)
+    seed: int = 1337                     # (launcher.py:30)
+    loss: str = "mse"
+    optimizer: str = "adam"
+    lr_schedule: Optional[str] = None
+    data_parallel: bool = False          # shard batches over all devices
+
+    # --- model (L3)
+    model_class: str = "hash_mlp"        # (--model_class, launcher.py:50-52)
+    dim_in: int = 0                      # 0 -> derived from the volume at run time
+    dim_hidden: int = 64
+    dim_out: int = 1
+    n_layers: int = 2
+    w0: float = 30.0
+    w0_initial: float = 30.0
+    sigma: float = 6.0
+    n_frequencies: int = 128
+    n_frequencies_t: int = 15
+    n_sample: int = 5                    # PSF points per axis (--n_sample, launcher.py:44-48)
+    encoder_type: str = "hash"
+    skip_connections: Tuple[int, ...] = ()
+
+    # --- hash encoding (L2) — HashConfig defaults (config/base.py:69-77)
+    n_levels: int = 4
+    n_features_per_level: int = 1
+    log2_hashmap_size: int = 23
+    base_resolution: Union[int, Tuple[int, ...]] = (64, 64, 5)
+    finest_resolution: Union[int, Tuple[int, ...], None] = (352, 352, 15)
+    per_level_scale: Optional[float] = None
+    dropout: float = 0.0
+
+    # --- inference / output (L0/L6)
+    interp_shapes: Tuple[Tuple[int, ...], ...] = ((352, 352, 30),)  # (config/base.py:62)
+    output_root: str = "runs"
+    checkpoint_path: Optional[str] = None
+    save_checkpoint: bool = True
+
+    def model_kwargs(self) -> Dict[str, Any]:
+        """The union-of-kwargs the launcher passes to the model factory
+        (reference passes everything to every model, launcher.py:121-139; we
+        filter per-factory signature in the launcher)."""
+        return {
+            "dim_in": self.dim_in,
+            "dim_hidden": self.dim_hidden,
+            "dim_out": self.dim_out,
+            "n_layers": self.n_layers,
+            "w0": self.w0,
+            "w0_initial": self.w0_initial,
+            "sigma": self.sigma,
+            "lr": self.lr,
+            "n_levels": self.n_levels,
+            "n_features_per_level": self.n_features_per_level,
+            "log2_hashmap_size": self.log2_hashmap_size,
+            "base_resolution": self.base_resolution,
+            "finest_resolution": self.finest_resolution,
+            "per_level_scale": self.per_level_scale,
+            "dropout_rate": self.dropout,
+            "n_frequencies": self.n_frequencies,
+            "n_frequencies_t": self.n_frequencies_t,
+            "n_sample": self.n_sample,
+            "skip_connections": self.skip_connections,
+            "encoder_type": self.encoder_type,
+            "weight_decay": self.weight_decay,
+        }
+
+
+def default_hash_config() -> RunConfig:
+    """The reference's HashConfig defaults (config/base.py:57-89)."""
+    return RunConfig()
+
+
+def default_siren_config() -> RunConfig:
+    """SIREN defaults per BaseConfig + SirenNet (config/base.py:17-55,
+    models.py:179-191)."""
+    return RunConfig(
+        model_class="siren",
+        batch_size=4096,
+        lr=1e-4,
+        dim_hidden=128,
+        n_layers=6,
+        zero_centered=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON config (tcnn hash_config.json compatibility)
+
+
+def load_json_config(path: str) -> Dict[str, Any]:
+    """Load a JSON config, tolerating //-comments (the reference uses
+    commentjson for config/hash_config.json)."""
+    with open(path) as f:
+        lines = []
+        for line in f:
+            stripped = line.split("//", 1)[0] if "//" in line and '"' not in line.split("//", 1)[0][-2:] else line
+            lines.append(stripped)
+    return json.loads("".join(lines))
+
+
+def apply_enco_config(cfg: RunConfig, enco: Dict[str, Any]) -> RunConfig:
+    """Merge a tcnn-style config dict (encoding/network/optimizer/loss
+    sections, config/hash_config.json) into a RunConfig."""
+    out = dataclasses.replace(cfg)
+    enc = enco.get("encoding", {})
+    if enc.get("otype") == "HashGrid":
+        out.n_levels = enc.get("n_levels", out.n_levels)
+        out.n_features_per_level = enc.get("n_features_per_level", out.n_features_per_level)
+        out.log2_hashmap_size = enc.get("log2_hashmap_size", out.log2_hashmap_size)
+        out.base_resolution = enc.get("base_resolution", out.base_resolution)
+        if "per_level_scale" in enc:
+            out.per_level_scale = enc["per_level_scale"]
+            out.finest_resolution = None
+    net = enco.get("network", {})
+    if net:
+        out.dim_hidden = net.get("n_neurons", out.dim_hidden)
+        out.n_layers = net.get("n_hidden_layers", out.n_layers)
+    opt = enco.get("optimizer", {})
+    if opt:
+        out.lr = opt.get("learning_rate", out.lr)
+        if opt.get("beta2") == 0.99 or opt.get("epsilon", 1) <= 1e-12:
+            out.optimizer = "adam_tcnn"
+        if opt.get("l2_reg"):
+            out.weight_decay = opt["l2_reg"]
+    loss = enco.get("loss", {})
+    if loss.get("otype") == "RelativeL2":
+        out.loss = "relative_l2"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CLI flags
+
+_FLAG_TYPES = {int, float, str, bool}
+
+
+def add_config_flags(parser: argparse.ArgumentParser, cfg: RunConfig) -> None:
+    """Auto-generate one flag per scalar config field (default: unset)."""
+    for f in fields(cfg):
+        if f.type in ("int", "float", "str", "bool", "Optional[int]", "Optional[float]", "Optional[str]"):
+            base = f.type.replace("Optional[", "").rstrip("]")
+            typ = {"int": int, "float": float, "str": str, "bool": lambda s: s.lower() in ("1", "true", "yes")}[base]
+            parser.add_argument(f"--{f.name}", type=typ, default=None, help=f"override {f.name}")
+
+
+def override_from_args(cfg: RunConfig, args: argparse.Namespace) -> RunConfig:
+    """Write parsed non-None flag values into the config
+    (parity: launcher.py:77-80)."""
+    out = dataclasses.replace(cfg)
+    for f in fields(cfg):
+        v = getattr(args, f.name, None)
+        if v is not None:
+            setattr(out, f.name, v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Provenance
+
+
+def export_to_txt(cfg: RunConfig, file_path: str = "") -> None:
+    """``config.txt`` dump (parity: config/base.py:52-55)."""
+    with open(file_path + "config.txt", "w") as f:
+        for fld in fields(cfg):
+            f.write(f"{fld.name} : {getattr(cfg, fld.name)}\n")
+
+
+def parse_config_txt(path: str) -> Dict[str, str]:
+    """Re-parse a config.txt into a dict (parity: figure_script.py:33-44)."""
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if " : " in line:
+                k, v = line.split(" : ", 1)
+                out[k.strip()] = v.strip()
+    return out

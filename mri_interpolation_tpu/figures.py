@@ -1,0 +1,80 @@
+"""Post-hoc reporting: frame grids and GIFs from saved predictions.
+
+Parity target: ``figure_script.py`` — load a run's ``pred.nii.gz``, take the
+mid-z slice of 4D volumes, write an n-col frame-grid PNG annotated with the
+run's config, per-frame PNGs, and an animated GIF (figure_script.py:10-72).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from .configs import parse_config_txt
+from .io import nifti
+
+__all__ = ["make_figures"]
+
+
+def make_figures(run_dir: str, pred_name: str = "pred.nii.gz", fps: int = 5,
+                 keep_frame_pngs: bool = False) -> dict:
+    """Generate report artifacts for a finished run directory.
+
+    Returns paths of the written artifacts.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import imageio.v2 as imageio
+    import matplotlib.pyplot as plt
+
+    pred_path = os.path.join(run_dir, pred_name)
+    img = nifti.load(pred_path)
+    data = np.asarray(img.get_fdata(np.float32))
+    if data.ndim == 4:
+        data = data[:, :, data.shape[2] // 2, :]  # mid-z (figure_script.py:15-21 uses z=3)
+    if data.ndim != 3:
+        raise ValueError(f"expected a (x, y, t) or 4D prediction, got shape {data.shape}")
+
+    config_txt = os.path.join(run_dir, "config.txt")
+    title = ""
+    if os.path.exists(config_txt):
+        cfg = parse_config_txt(config_txt)
+        title = f"{cfg.get('model_class', '?')} lr={cfg.get('lr', '?')} epochs={cfg.get('epochs', '?')}"
+
+    out = {}
+
+    # frame grid (3 rows x ceil(T/3) cols, figure_script.py:24-52)
+    n_frames = data.shape[-1]
+    ncols = -(-n_frames // 3)
+    fig, axes = plt.subplots(3, ncols, figsize=(2 * ncols, 6))
+    for i, ax in enumerate(np.atleast_1d(axes).ravel()):
+        ax.axis("off")
+        if i < n_frames:
+            ax.imshow(data[..., i].T, cmap="gray", origin="lower")
+            ax.set_title(f"t={i}", fontsize=7)
+    fig.suptitle(title, fontsize=9)
+    grid_path = os.path.join(run_dir, "frames_grid.png")
+    fig.savefig(grid_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    out["grid"] = grid_path
+
+    # per-frame PNGs -> GIF (figure_script.py:54-72)
+    lo, hi = float(data.min()), float(data.max())
+    frames = []
+    frame_paths = []
+    for i in range(n_frames):
+        norm = (data[..., i].T - lo) / (hi - lo + 1e-12)
+        frames.append((norm * 255).astype(np.uint8))
+        if keep_frame_pngs:
+            p = os.path.join(run_dir, f"frame_{i:03d}.png")
+            imageio.imwrite(p, frames[-1])
+            frame_paths.append(p)
+    gif_path = os.path.join(run_dir, "frames.gif")
+    imageio.mimsave(gif_path, frames, duration=int(1000 / fps))
+    out["gif"] = gif_path
+    if frame_paths:
+        out["frames"] = frame_paths
+    return out

@@ -1,0 +1,221 @@
+"""Training launcher — the framework's main CLI entry point.
+
+Parity target: reference ``launcher.py`` end to end: argparse flags ->
+config merge -> model construction (or checkpoint resume) -> fit -> full
+reconstruction saved as ``pred.nii.gz`` (or ``pred.png`` for 2D) -> dense-grid
+interpolation for each ``interp_shapes`` -> ``interpolation{shape}.nii.gz`` ->
+``config.txt`` provenance (launcher.py:34-224), with versioned run dirs
+(``runs/version_N`` mirroring lightning_logs).
+
+Additions over the reference: live PSNR/SSIM metrics written to
+``metrics.json`` (the reference's commented block, hash_experimentation.py:
+445-459), even-frame training protocol, optional data-parallel fitting, orbax
+checkpointing, persistent compile cache.
+
+Usage:
+    python -m mri_interpolation_tpu.launcher --image_path vol.nii.gz \
+        --model_class hash_mlp --epochs 10 [--enco_config_path cfg.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import inspect
+import json
+import os
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+
+from . import configs
+from .configs import RunConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description=__doc__)
+    # The reference's explicit flags (launcher.py:35-59) plus auto-generated
+    # flags for every scalar config field.
+    parser.add_argument("--enco_config_path", type=str, default=None,
+                        help="path to a tcnn-style JSON encoding config")
+    parser.add_argument("--config_preset", type=str, default="hash",
+                        choices=["hash", "siren"], help="base config preset")
+    configs.add_config_flags(parser, RunConfig())
+    return parser
+
+
+def make_run_dir(root: str) -> str:
+    """Versioned run dir: root/version_N (parity: lightning_logs versioning,
+    launcher.py:173-176 — including fixing the reference's Windows-only
+    path join)."""
+    os.makedirs(root, exist_ok=True)
+    existing = [int(d.split("_")[1]) for d in os.listdir(root)
+                if d.startswith("version_") and d.split("_")[1].isdigit()]
+    version = max(existing) + 1 if existing else 0
+    path = os.path.join(root, f"version_{version}")
+    os.makedirs(path)
+    return path
+
+
+def build_model(cfg: RunConfig, dim_in: int, coordinates_spacing=None):
+    """Construct the configured model, passing each factory only the kwargs it
+    accepts (the reference passes the union blindly, launcher.py:121-139)."""
+    from .models import get_model_factory
+
+    factory = get_model_factory(cfg.model_class)
+    kwargs = dict(cfg.model_kwargs())
+    kwargs["dim_in"] = dim_in
+    if coordinates_spacing is not None:
+        kwargs["coordinates_spacing"] = coordinates_spacing
+    accepted = inspect.signature(factory).parameters
+    kwargs = {k: v for k, v in kwargs.items() if k in accepted}
+    return factory(**kwargs)
+
+
+def run(cfg: RunConfig, run_dir: Optional[str] = None) -> dict:
+    """Execute the full train -> reconstruct -> interpolate -> report pipeline.
+    Returns a summary dict (also written to metrics.json in the run dir)."""
+    import jax
+
+    from .infer import evaluate_grid
+    from .io import even_frame_split, load_volume, nifti
+    from .metrics import evaluate_reconstruction, param_count
+    from .models import get_model_factory  # noqa: F401 (validates early)
+    from .train import TrainConfig, Trainer, restore_checkpoint, save_checkpoint
+    from .utils import setup_compilation_cache
+
+    setup_compilation_cache()
+
+    run_dir = run_dir or make_run_dir(cfg.output_root)
+
+    # ----- data (L1)
+    slice_axes = None
+    if cfg.slice_z is not None:
+        slice_axes = (slice(None), slice(None), cfg.slice_z, slice(None))
+    ds = load_volume(cfg.image_path, zero_centered=cfg.zero_centered, slice_axes=slice_axes)
+    full_image = ds.image()
+    if cfg.even_frames_only:
+        # Even-frame protocol: train on data[..., ::2]; the time coordinate of
+        # even frame k is remapped to frame 2k's position in the FULL volume,
+        # so full-grid inference interpolates the held-out odd frames.
+        train_img, _ = even_frame_split(full_image)
+        from .io.volume import flat_coords
+
+        lo_c = -1.0 if cfg.zero_centered else 0.0
+        coords = flat_coords(train_img.shape, lo=lo_c)
+        t_full = full_image.shape[-1]
+        t_even = train_img.shape[-1]
+        scale = 2.0 * (t_even - 1) / max(t_full - 1, 1)
+        coords[:, -1] = lo_c + (coords[:, -1] - lo_c) * scale
+        train_coords, train_values = coords, train_img.reshape(-1, 1)
+    else:
+        train_coords, train_values = ds.coords, ds.values
+
+    dim_in = ds.dim_in
+    cfg.dim_in = dim_in
+
+    # PSF spacing: half-voxel extents in normalized coordinates.
+    spacing = tuple(0.5 / max(s - 1, 1) for s in ds.shape[:3])
+    model = build_model(cfg, dim_in, coordinates_spacing=spacing)
+
+    # ----- resume (parity: launcher.py:97-117)
+    params = state = None
+    if cfg.checkpoint_path:
+        restored = restore_checkpoint(cfg.checkpoint_path)
+        params = restored["params"]
+        state = restored.get("state", {})
+
+    # ----- fit (L4)
+    tc = TrainConfig(
+        batch_size=cfg.batch_size,
+        epochs=cfg.epochs,
+        lr=cfg.lr,
+        weight_decay=cfg.weight_decay,
+        seed=cfg.seed,
+        optimizer=cfg.optimizer,
+        lr_schedule=cfg.lr_schedule,
+        accumulate_grad_batches=cfg.accumulate_grad_batches,
+        loss=cfg.loss,
+    )
+    if cfg.data_parallel and len(jax.devices()) > 1:
+        from .parallel import DataParallelTrainer
+
+        result = DataParallelTrainer(tc).fit(model, train_coords, train_values, params=params, state=state)
+    else:
+        result = Trainer(tc).fit(model, train_coords, train_values, params=params, state=state)
+
+    # ----- reconstruction (parity: launcher.py:179-189)
+    lo = -1.0 if cfg.zero_centered else 0.0
+    recon = evaluate_grid(model, result.params, result.state, ds.shape, lo=lo)
+    if recon.ndim == 2:
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            plt.imshow(recon.T)
+            plt.savefig(os.path.join(run_dir, "pred.png"))
+            plt.close()
+        except Exception:
+            pass
+    nifti.save(recon.astype(np.float32), os.path.join(run_dir, "pred.nii.gz"), pixdim=ds.pixdim)
+
+    quality = evaluate_reconstruction(
+        jax.numpy.asarray(recon), jax.numpy.asarray(full_image),
+        data_range=2.0 if cfg.zero_centered else 1.0,
+    )
+    # held-out odd-frame quality under the even-frame protocol
+    if cfg.even_frames_only:
+        _, odd = even_frame_split(full_image)
+        _, odd_pred = even_frame_split(recon)
+        # odd frames of the reconstruction live between trained frames
+        odd_q = evaluate_reconstruction(
+            jax.numpy.asarray(odd_pred[..., : odd.shape[-1]]), jax.numpy.asarray(odd),
+            data_range=2.0 if cfg.zero_centered else 1.0,
+        )
+        quality = {**quality, **{f"odd_{k}": v for k, v in odd_q.items()}}
+
+    # ----- dense-grid interpolation (parity: launcher.py:191-222; fixes the
+    # reference's interp_shape/interp_shapes iteration bug at :196)
+    for shape in cfg.interp_shapes:
+        interp = evaluate_grid(model, result.params, result.state, shape, lo=lo)
+        nifti.save(
+            interp.astype(np.float32),
+            os.path.join(run_dir, f"interpolation{tuple(shape)}.nii.gz"),
+            pixdim=ds.pixdim,
+        )
+
+    # ----- provenance + metrics + checkpoint
+    configs.export_to_txt(cfg, run_dir + os.sep)
+    summary = {
+        "model": model.name,
+        "param_count": param_count(result.params),
+        "steps": result.steps,
+        "final_loss": result.final_loss,
+        "train_wall_s": result.wall_time_s,
+        "steady_steps_per_sec": result.steady_steps_per_sec,
+        **quality,
+        "run_dir": run_dir,
+    }
+    with open(os.path.join(run_dir, "metrics.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    if cfg.save_checkpoint:
+        save_checkpoint(os.path.join(run_dir, "checkpoints"), step=result.steps,
+                        params=result.params, state=result.state)
+    return summary
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    cfg = configs.default_siren_config() if args.config_preset == "siren" else configs.default_hash_config()
+    if args.enco_config_path:
+        cfg = configs.apply_enco_config(cfg, configs.load_json_config(args.enco_config_path))
+    cfg = configs.override_from_args(cfg, args)
+    summary = run(cfg)
+    print(json.dumps(summary, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,138 @@
+"""Config system + launcher end-to-end tests (tiny synthetic volumes, CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mri_interpolation_tpu import configs
+from mri_interpolation_tpu.configs import RunConfig
+from mri_interpolation_tpu.io import nifti, synthetic_volume
+from mri_interpolation_tpu.launcher import build_model, build_parser, make_run_dir, run
+
+
+@pytest.fixture()
+def tiny_volume_path(tmp_path):
+    vol = synthetic_volume((10, 10, 6), seed=1)
+    path = str(tmp_path / "tiny.nii.gz")
+    nifti.save(vol, path)
+    return path
+
+
+class TestConfig:
+    def test_defaults_match_reference_hash_config(self):
+        cfg = configs.default_hash_config()
+        assert cfg.batch_size == 10000 and cfg.epochs == 1 and cfg.lr == 5e-3
+        assert cfg.n_levels == 4 and cfg.log2_hashmap_size == 23
+        assert cfg.base_resolution == (64, 64, 5) and cfg.finest_resolution == (352, 352, 15)
+        assert cfg.interp_shapes == ((352, 352, 30),)
+
+    def test_flag_override(self):
+        parser = build_parser()
+        args = parser.parse_args(["--batch_size", "123", "--epochs", "7", "--model_class", "siren"])
+        cfg = configs.override_from_args(configs.default_hash_config(), args)
+        assert cfg.batch_size == 123 and cfg.epochs == 7 and cfg.model_class == "siren"
+
+    def test_enco_config_merge(self, tmp_path):
+        enco = {
+            "loss": {"otype": "RelativeL2"},
+            "optimizer": {"otype": "Adam", "learning_rate": 1e-2, "beta2": 0.99,
+                          "epsilon": 1e-15, "l2_reg": 1e-6},
+            "encoding": {"otype": "HashGrid", "n_levels": 16, "n_features_per_level": 2,
+                         "log2_hashmap_size": 19, "base_resolution": 16, "per_level_scale": 1.4},
+            "network": {"otype": "FullyFusedMLP", "n_neurons": 128, "n_hidden_layers": 2},
+        }
+        p = tmp_path / "enco.json"
+        p.write_text(json.dumps(enco))
+        cfg = configs.apply_enco_config(configs.default_hash_config(), configs.load_json_config(str(p)))
+        assert cfg.n_levels == 16 and cfg.per_level_scale == 1.4 and cfg.finest_resolution is None
+        assert cfg.loss == "relative_l2" and cfg.optimizer == "adam_tcnn"
+        assert cfg.lr == 1e-2 and cfg.weight_decay == 1e-6 and cfg.dim_hidden == 128
+
+    def test_config_txt_roundtrip(self, tmp_path):
+        cfg = configs.default_hash_config()
+        configs.export_to_txt(cfg, str(tmp_path) + os.sep)
+        parsed = configs.parse_config_txt(str(tmp_path / "config.txt"))
+        assert parsed["batch_size"] == "10000"
+        assert parsed["model_class"] == "hash_mlp"
+
+    def test_run_dir_versioning(self, tmp_path):
+        root = str(tmp_path / "runs")
+        d0 = make_run_dir(root)
+        d1 = make_run_dir(root)
+        assert d0.endswith("version_0") and d1.endswith("version_1")
+
+
+class TestBuildModel:
+    @pytest.mark.parametrize("name", ["siren", "hash_mlp", "rff_net", "gabor", "mlp",
+                                      "modulated_siren", "freq_mlp"])
+    def test_factories_get_filtered_kwargs(self, name):
+        cfg = RunConfig(model_class=name, base_resolution=(8, 8, 4), finest_resolution=(16, 16, 8),
+                        log2_hashmap_size=10, dim_hidden=16, n_layers=2, encoder_type="siren",
+                        n_frequencies=8, n_frequencies_t=4)
+        model = build_model(cfg, dim_in=3)
+        assert model.dim_in == 3
+
+    def test_psf_gets_spacing(self):
+        cfg = RunConfig(model_class="psf_siren", dim_hidden=16, n_layers=2)
+        model = build_model(cfg, dim_in=3, coordinates_spacing=(0.01, 0.01, 0.05))
+        assert model.name == "psf_siren"
+
+
+class TestEndToEnd:
+    def test_full_pipeline_siren(self, tiny_volume_path, tmp_path):
+        cfg = RunConfig(
+            image_path=tiny_volume_path, model_class="siren", batch_size=200, epochs=5,
+            lr=1e-3, dim_hidden=16, n_layers=2, zero_centered=True,
+            interp_shapes=((10, 10, 11),), output_root=str(tmp_path / "runs"),
+            save_checkpoint=True,
+        )
+        summary = run(cfg)
+        rd = summary["run_dir"]
+        assert os.path.exists(os.path.join(rd, "pred.nii.gz"))
+        assert os.path.exists(os.path.join(rd, "interpolation(10, 10, 11).nii.gz"))
+        assert os.path.exists(os.path.join(rd, "config.txt"))
+        assert os.path.exists(os.path.join(rd, "metrics.json"))
+        assert summary["psnr"] > 5
+        interp = nifti.load(os.path.join(rd, "interpolation(10, 10, 11).nii.gz"))
+        assert interp.shape == (10, 10, 11)
+
+    def test_full_pipeline_hash_even_frames(self, tiny_volume_path, tmp_path):
+        cfg = RunConfig(
+            image_path=tiny_volume_path, model_class="hash_mlp", batch_size=300, epochs=5,
+            lr=5e-3, dim_hidden=16, n_layers=2,
+            base_resolution=(4, 4, 3), finest_resolution=(10, 10, 6), log2_hashmap_size=10,
+            even_frames_only=True, interp_shapes=(), output_root=str(tmp_path / "runs"),
+            save_checkpoint=False,
+        )
+        summary = run(cfg)
+        assert "odd_psnr" in summary
+        assert np.isfinite(summary["odd_psnr"])
+
+    def test_checkpoint_resume(self, tiny_volume_path, tmp_path):
+        cfg = RunConfig(
+            image_path=tiny_volume_path, model_class="siren", batch_size=200, epochs=2,
+            dim_hidden=16, n_layers=2, zero_centered=True, interp_shapes=(),
+            output_root=str(tmp_path / "runs"),
+        )
+        s1 = run(cfg)
+        ckpt = os.path.join(s1["run_dir"], "checkpoints")
+        cfg2 = configs.RunConfig(**{**cfg.__dict__, "checkpoint_path": ckpt})
+        s2 = run(cfg2)
+        assert s2["final_loss"] <= s1["final_loss"] * 1.5
+
+
+class TestFigures:
+    def test_make_figures(self, tiny_volume_path, tmp_path):
+        from mri_interpolation_tpu.figures import make_figures
+
+        cfg = RunConfig(
+            image_path=tiny_volume_path, model_class="siren", batch_size=200, epochs=1,
+            dim_hidden=8, n_layers=2, zero_centered=True, interp_shapes=(),
+            output_root=str(tmp_path / "runs"), save_checkpoint=False,
+        )
+        summary = run(cfg)
+        out = make_figures(summary["run_dir"])
+        assert os.path.exists(out["grid"])
+        assert os.path.exists(out["gif"])
