@@ -57,7 +57,7 @@ def main():
     )
 
     batch = 10000
-    cfg = TrainConfig(batch_size=batch, epochs=6, lr=5e-3, seed=1337)
+    cfg = TrainConfig(batch_size=batch, epochs=30, lr=5e-3, seed=1337)
     result = Trainer(cfg).fit(model, ds.coords, ds.values)
     steps_per_sec = result.steady_steps_per_sec
     voxels_per_sec = steps_per_sec * batch

@@ -24,6 +24,11 @@ from ..models.core import Model
 
 __all__ = ["flat_index_to_coords", "evaluate_grid", "predict_batched"]
 
+# Compiled-evaluator cache: evaluate_grid is called repeatedly with the same
+# model/geometry (reconstruction + every interp shape + benchmarks); re-jitting
+# a fresh closure per call would pay compile each time.
+_EVAL_CACHE: dict = {}
+
 
 def flat_index_to_coords(
     flat_idx: jnp.ndarray,
@@ -75,18 +80,26 @@ def evaluate_grid(
     n_chunks = -(-n // chunk_size)
     padded = n_chunks * chunk_size
 
-    def eval_chunk(start):
-        flat = start + jnp.arange(chunk_size)
-        flat = jnp.minimum(flat, n - 1)  # pad tail by repeating the last voxel
-        x = flat_index_to_coords(flat, shape, lo, hi)
-        if transform is not None:
-            x = transform(x)
-        kwargs = {} if frame_idx is None else {"frame_idx": frame_idx}
-        y, _ = model.apply(params, state, x, train=False, rng=None, **kwargs)
-        return y
+    cache_key = (id(model), shape, lo, hi, chunk_size, frame_idx, id(transform))
+    runner = _EVAL_CACHE.get(cache_key)
+    if runner is None:
 
-    starts = jnp.arange(n_chunks) * chunk_size
-    out = jax.jit(lambda s: jax.lax.map(eval_chunk, s))(starts)
+        def eval_chunk(carry, start):
+            params, state = carry
+            flat = start + jnp.arange(chunk_size)
+            flat = jnp.minimum(flat, n - 1)  # pad tail by repeating the last voxel
+            x = flat_index_to_coords(flat, shape, lo, hi)
+            if transform is not None:
+                x = transform(x)
+            kwargs = {} if frame_idx is None else {"frame_idx": frame_idx}
+            y, _ = model.apply(params, state, x, train=False, rng=None, **kwargs)
+            return carry, y
+
+        starts = jnp.arange(n_chunks) * chunk_size
+        runner = jax.jit(lambda p, s: jax.lax.scan(eval_chunk, (p, s), starts)[1])
+        _EVAL_CACHE[cache_key] = runner
+
+    out = runner(params, state)
     out = np.asarray(out).reshape(padded, -1)[:n]
     if out.shape[-1] == 1:
         return out.reshape(shape)
@@ -115,9 +128,17 @@ def predict_batched(
 
     kwargs = {} if frame_idx is None else {"frame_idx": frame_idx}
 
-    def eval_chunk(x):
-        y, _ = model.apply(params, state, x, train=False, rng=None, **kwargs)
-        return y
+    cache_key = ("predict", id(model), chunks.shape, frame_idx)
+    runner = _EVAL_CACHE.get(cache_key)
+    if runner is None:
 
-    out = jax.jit(lambda c: jax.lax.map(eval_chunk, c))(chunks)
+        def eval_chunk(carry, x):
+            p, s = carry
+            y, _ = model.apply(p, s, x, train=False, rng=None, **kwargs)
+            return carry, y
+
+        runner = jax.jit(lambda p, s, c: jax.lax.scan(eval_chunk, (p, s), c)[1])
+        _EVAL_CACHE[cache_key] = runner
+
+    out = runner(params, state, chunks)
     return np.asarray(out).reshape(padded, -1)[:n]

@@ -85,7 +85,7 @@ class TestHashGridGeometry:
     def test_isotropic_reference_growth(self):
         # encoding.py:168-176 semantics: b = exp((ln512 - ln16)/(16-1)).
         enc = HashGridEncoding(dim=3, n_levels=4, n_features_per_level=2, log2_hashmap_size=15,
-                               base_resolution=16, finest_resolution=512)
+                               base_resolution=16, finest_resolution=512, storage="hashed")
         b = math.exp((math.log(512) - math.log(16)) / (16 - 1))
         expected = [math.floor(16 * b**l) for l in range(4)]
         np.testing.assert_array_equal(enc.level_resolutions[:, 0], expected)
@@ -95,7 +95,8 @@ class TestHashGridGeometry:
     def test_anisotropic_v2_growth(self):
         # encoding.py:310-321 semantics, the reference's dyn-MRI config.
         enc = HashGridEncoding(dim=3, n_levels=4, n_features_per_level=1, log2_hashmap_size=23,
-                               base_resolution=(64, 64, 5), finest_resolution=(352, 352, 15))
+                               base_resolution=(64, 64, 5), finest_resolution=(352, 352, 15),
+                               storage="hashed")
         bx = math.exp((math.log(352) - math.log(64)) / 63)
         bt = math.exp((math.log(15) - math.log(5)) / 4)
         for l in range(4):
@@ -141,15 +142,71 @@ class TestHashGridForward:
         _, w = enc.corner_ids_and_weights(x)
         np.testing.assert_allclose(np.asarray(w.sum(axis=-1)), 1.0, atol=1e-5)
 
-    def test_grid_point_exact_lookup(self):
+    def test_grid_point_exact_lookup_hashed(self):
         # At an exact grid point, output == the single hashed corner's feature.
         enc = HashGridEncoding(dim=2, n_levels=1, n_features_per_level=2,
-                               base_resolution=4, finest_resolution=4, log2_hashmap_size=10)
+                               base_resolution=4, finest_resolution=4, log2_hashmap_size=10,
+                               storage="hashed")
         params = enc.init(jax.random.key(2))
         x = jnp.array([[0.5, 0.75]])  # scaled by res 4 -> corner (2, 3), exact
         expected_row = numpy_hash_oracle(np.array([[2, 3]]), int(enc.level_sizes[0]))[0]
         out = np.asarray(enc.apply(params, x))
         np.testing.assert_allclose(out[0], np.asarray(params["table"])[expected_row], rtol=1e-6)
+
+    def test_grid_point_exact_lookup_dense(self):
+        # Dense storage: direct row-major vertex indexing, no hashing.
+        enc = HashGridEncoding(dim=2, n_levels=1, n_features_per_level=2,
+                               base_resolution=4, finest_resolution=4, log2_hashmap_size=10,
+                               storage="dense")
+        assert enc.level_dense.all()
+        assert enc.level_sizes[0] == 25  # (4+1)^2 vertices, not the 2^10 budget
+        params = enc.init(jax.random.key(2))
+        x = jnp.array([[0.5, 0.75]])  # corner (2, 3) in a 5x5 vertex grid
+        out = np.asarray(enc.apply(params, x))
+        np.testing.assert_allclose(out[0], np.asarray(params["table"])[2 * 5 + 3], rtol=1e-6)
+
+    def test_auto_storage_selection(self):
+        # small grids go dense; a level whose vertex grid exceeds the budget hashes
+        enc = HashGridEncoding(dim=3, n_levels=4, base_resolution=16, finest_resolution=None,
+                               per_level_scale=2.0, log2_hashmap_size=15)
+        verts = np.prod(enc.level_resolutions.astype(np.int64) + 1, axis=1)
+        np.testing.assert_array_equal(enc.level_dense, verts <= 2**15)
+        assert enc.level_dense[0] and not enc.level_dense[-1]
+
+    def test_dense_matches_corner_formula(self):
+        # apply() must equal the explicit sum over corner_ids_and_weights.
+        enc = HashGridEncoding(dim=3, n_levels=3, base_resolution=4, finest_resolution=16,
+                               log2_hashmap_size=12)
+        params = enc.init(jax.random.key(8))
+        x = jax.random.uniform(jax.random.key(9), (40, 3))
+        ids, w = enc.corner_ids_and_weights(x)
+        expected = jnp.sum(jnp.take(params["table"], ids, axis=0) * w[..., None], axis=-2)
+        got = enc.apply(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected).reshape(40, -1), atol=1e-6)
+
+    def test_hashed_matches_corner_formula(self):
+        enc = HashGridEncoding(dim=3, n_levels=2, base_resolution=4, finest_resolution=16,
+                               log2_hashmap_size=12, storage="hashed")
+        params = enc.init(jax.random.key(8))
+        x = jax.random.uniform(jax.random.key(9), (40, 3))
+        ids, w = enc.corner_ids_and_weights(x)
+        expected = jnp.sum(jnp.take(params["table"], ids, axis=0) * w[..., None], axis=-2)
+        got = enc.apply(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected).reshape(40, -1), atol=1e-6)
+
+    def test_dense_boundary_in_bounds(self):
+        # x == 1.0 exactly must stay in-bounds and interpolate to the far corner.
+        enc = HashGridEncoding(dim=2, n_levels=1, n_features_per_level=1,
+                               base_resolution=4, finest_resolution=4, log2_hashmap_size=10,
+                               storage="dense")
+        params = enc.init(jax.random.key(3))
+        out = np.asarray(enc.apply(params, jnp.array([[1.0, 1.0]])))
+        np.testing.assert_allclose(out[0, 0], np.asarray(params["table"])[4 * 5 + 4, 0], rtol=1e-5)
+
+    def test_dense_force_overflow_raises(self):
+        with pytest.raises(ValueError, match="exceeds"):
+            HashGridEncoding(dim=3, n_levels=1, base_resolution=100, finest_resolution=100,
+                             log2_hashmap_size=10, storage="dense")
 
     def test_continuity_between_grid_points(self):
         # Multilinear interp: moving epsilon in coords moves output ~linearly.
