@@ -46,3 +46,35 @@ def linear_interpolate_volume(volume: np.ndarray, out_shape: Sequence[int]) -> n
 
     out = _interp(volume)
     return np.asarray(out).reshape(out_shape)
+
+
+def main(argv=None):
+    """CLI parity with the reference's interp.py protocol: load a 4D volume,
+    normalize by max, take the (x, y, t) slice at z, drop to even frames,
+    linearly re-interpolate the full temporal grid, save as NIfTI
+    (interp.py:22-52)."""
+    import argparse
+
+    from ..io import nifti
+
+    p = argparse.ArgumentParser(description="classical linear-interpolation baseline")
+    p.add_argument("image_path")
+    p.add_argument("--out", default="itk_interpolated.nii.gz")
+    p.add_argument("--slice_z", type=int, default=3)
+    p.add_argument("--even_frames", action="store_true", default=True)
+    args = p.parse_args(argv)
+
+    img = nifti.load(args.image_path)
+    data = img.get_fdata(np.float32)
+    data = data / data.max()
+    if data.ndim == 4 and args.slice_z is not None:
+        data = data[:, :, args.slice_z, :]
+    full_shape = data.shape
+    src = data[..., ::2] if args.even_frames else data
+    out = linear_interpolate_volume(src, full_shape)
+    nifti.save(out.astype(np.float32), args.out)
+    print(f"wrote {args.out} shape={out.shape}")
+
+
+if __name__ == "__main__":
+    main()

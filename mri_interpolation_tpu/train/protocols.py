@@ -1,0 +1,98 @@
+"""Named training protocols from the reference's experiments.
+
+- ``two_phase_hash_fit``: pretrain on key frames, freeze the decoder, then
+  train on the full data — decoder-frozen temporal completion
+  (legacy_code/hash_experimentation.py:330-384).
+- ``even_frame_fit_eval``: train on even frames, evaluate reconstruction of
+  the held-out odd frames — the repo's interpolation-quality protocol
+  (hash_experimentation.py:313-317, implementation_paper.py:567-568).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..infer import evaluate_grid
+from ..io.volume import even_frame_split, flat_coords
+from ..metrics import evaluate_reconstruction
+from ..models.core import Model
+from .trainer import TrainConfig, Trainer, TrainResult
+
+__all__ = ["two_phase_hash_fit", "even_frame_fit_eval", "key_frame_subset"]
+
+
+def key_frame_subset(
+    coords: np.ndarray, values: np.ndarray, image_shape: Sequence[int], key_frames: Sequence[int]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Rows of (coords, values) belonging to the given time frames.
+
+    Assumes time is the last axis of ``image_shape`` and coords were built
+    C-ordered over that shape, so frame f owns every row with
+    index % T == f. Default key frames in the reference: [3, 7, 13]
+    (hash_experimentation.py:330).
+    """
+    t = int(image_shape[-1])
+    idx = np.arange(len(values))
+    mask = np.isin(idx % t, list(key_frames))
+    return coords[mask], values[mask]
+
+
+def two_phase_hash_fit(
+    model: Model,
+    coords: np.ndarray,
+    values: np.ndarray,
+    image_shape: Sequence[int],
+    key_frames: Sequence[int] = (3, 7, 13),
+    pretrain_config: Optional[TrainConfig] = None,
+    train_config: Optional[TrainConfig] = None,
+) -> Tuple[TrainResult, TrainResult]:
+    """Phase 1: fit on key frames only. Phase 2: freeze every decoder layer
+    (parameters whose top-level key is not 'encoder') and fit on the full
+    data. Returns (phase1, phase2) results."""
+    pretrain_config = pretrain_config or TrainConfig(batch_size=5000, epochs=10, lr=5e-3)
+    train_config = train_config or TrainConfig(batch_size=10000, epochs=10, lr=5e-3)
+
+    kc, kv = key_frame_subset(coords, values, image_shape, key_frames)
+    phase1 = Trainer(pretrain_config).fit(model, kc, kv)
+
+    def freeze_decoder(params):
+        # True = trainable: only the hash/encoding tables keep training.
+        return {
+            k: jax.tree.map(lambda _: (k == "encoder"), v) for k, v in params.items()
+        }
+
+    phase2 = Trainer(train_config, freeze_mask_fn=freeze_decoder).fit(
+        model, coords, values, params=phase1.params, state=phase1.state, donate=False
+    )
+    return phase1, phase2
+
+
+def even_frame_fit_eval(
+    model: Model,
+    image: np.ndarray,
+    config: TrainConfig,
+    zero_centered: bool = False,
+) -> Tuple[TrainResult, dict]:
+    """Train on even frames (time remapped to full-volume positions),
+    reconstruct the full grid, and report quality on the held-out odd frames.
+    Returns (result, {"full": metrics, "odd": metrics})."""
+    lo = -1.0 if zero_centered else 0.0
+    train_img, odd_img = even_frame_split(image)
+    coords = flat_coords(train_img.shape, lo=lo)
+    t_full, t_even = image.shape[-1], train_img.shape[-1]
+    scale = 2.0 * (t_even - 1) / max(t_full - 1, 1)
+    coords[:, -1] = lo + (coords[:, -1] - lo) * scale
+    values = train_img.reshape(-1, 1)
+
+    result = Trainer(config).fit(model, coords, values)
+    recon = evaluate_grid(model, result.params, result.state, image.shape, lo=lo)
+    rng = 2.0 if zero_centered else 1.0
+    full_q = evaluate_reconstruction(jax.numpy.asarray(recon), jax.numpy.asarray(image), data_range=rng)
+    odd_pred = recon[..., 1::2]
+    odd_q = evaluate_reconstruction(
+        jax.numpy.asarray(odd_pred[..., : odd_img.shape[-1]]), jax.numpy.asarray(odd_img), data_range=rng
+    )
+    return result, {"full": full_q, "odd": odd_q}
