@@ -1,0 +1,218 @@
+"""Fused sine-MLP (SIREN) Pallas kernel.
+
+The TPU-native replacement for tcnn's FullyFusedMLP (reference models.py:629-
+639): the whole layer stack executes inside one kernel per batch tile —
+weights live in VMEM for the duration, activations never round-trip to HBM
+between layers, and the sine nonlinearities fuse into the matmul pipeline.
+
+Forward: grid over batch tiles; each program computes the full stack for its
+tile on the MXU (fp32, ``preferred_element_type=float32``).
+
+Backward (custom VJP): recomputes the forward per tile (activations are far
+cheaper to recompute than to spill: B x H x L fp32 would be >100 MB/step),
+then backpropagates through the stack in-kernel. Weight/bias gradients use the
+sequential-grid accumulation pattern: every program writes the same dW output
+block, zero-initialized at program 0 and accumulated with ``+=`` — safe
+because TPU grids execute sequentially.
+
+Coordinate gradients (dx) are not produced: INR training never differentiates
+wrt input coords (they are data), and skipping dx saves a matmul per layer.
+
+Gated by equivalence tests against the plain-JAX oracle
+(models/siren._siren_forward) in tests/test_pallas.py.
+
+ENVIRONMENT NOTE: this build environment reaches its TPU through the
+experimental 'axon' tunnel, which does NOT execute Mosaic/Pallas kernels
+(even a trivial kernel hangs at launch — probed 2026-08-16). The kernels are
+therefore validated in interpreter mode and shipped opt-in behind
+``pallas_supported()``; on a standard TPU VM (jax 'tpu' platform) they compile
+and run. The XLA paths remain the default production path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["fused_siren_forward", "fused_siren_apply", "pallas_supported"]
+
+
+def pallas_supported() -> bool:
+    """True when compiled Pallas kernels can run on the current backend.
+
+    The 'axon' TPU tunnel hangs on Mosaic kernel launch; CPU needs interpreter
+    mode. Set MIT_FORCE_PALLAS=1 to override (real TPU VMs).
+    """
+    import os
+
+    if os.environ.get("MIT_FORCE_PALLAS") == "1":
+        return True
+    platform = jax.devices()[0].platform
+    return platform == "tpu" and "axon" not in str(jax.devices()[0]).lower()
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _forward_kernel(n_layers: int, w0s: Tuple[float, ...], x_ref, *refs):
+    """refs = [W0, b0, ..., W_{L}, b_{L}, out_ref]. Biases are (1, H)."""
+    out_ref = refs[-1]
+    h = x_ref[:]
+    for l in range(n_layers + 1):
+        w = refs[2 * l][:]
+        b = refs[2 * l + 1][:]
+        z = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        h = jnp.sin(w0s[l] * z) if l < n_layers else z
+    out_ref[:] = h
+
+
+def _backward_kernel(n_layers: int, w0s: Tuple[float, ...], x_ref, g_ref, *refs):
+    """refs = [W0, b0, ..., WL, bL, dW0, db0, ..., dWL, dbL]."""
+    n_params = 2 * (n_layers + 1)
+    w_refs = refs[:n_params]
+    grad_refs = refs[n_params:]
+
+    # Zero the accumulators on the first tile (sequential-grid accumulation).
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for r in grad_refs:
+            r[:] = jnp.zeros_like(r)
+
+    # Recompute forward, keeping pre-activations as values (registers/VMEM).
+    h = x_ref[:]
+    hs = [h]  # inputs to each layer
+    zs = []
+    for l in range(n_layers + 1):
+        w = w_refs[2 * l][:]
+        b = w_refs[2 * l + 1][:]
+        z = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        zs.append(z)
+        h = jnp.sin(w0s[l] * z) if l < n_layers else z
+        hs.append(h)
+
+    # Backprop (no dx): dz_l flows backward through the stack.
+    dz = g_ref[:]  # last layer is identity
+    for l in range(n_layers, -1, -1):
+        grad_refs[2 * l][:] += jnp.dot(hs[l].T, dz, preferred_element_type=jnp.float32)
+        grad_refs[2 * l + 1][:] += jnp.sum(dz, axis=0, keepdims=True)
+        if l > 0:
+            dh = jnp.dot(dz, w_refs[2 * l][:].T, preferred_element_type=jnp.float32)
+            dz = dh * (w0s[l - 1] * jnp.cos(w0s[l - 1] * zs[l - 1]))
+
+
+def _flatten_params(params, n_layers):
+    """Flatten the siren pytree; biases reshaped (H,) -> (1, H) (TPU-friendly 2D)."""
+    flat = []
+    for l in range(n_layers):
+        flat.append(params["layers"][l]["w"])
+        flat.append(params["layers"][l]["b"].reshape(1, -1))
+    flat.append(params["last"]["w"])
+    flat.append(params["last"]["b"].reshape(1, -1))
+    return flat
+
+
+def _pad_batch(x, tile):
+    n = x.shape[0]
+    padded = _round_up(max(n, 1), tile)
+    if padded != n:
+        x = jnp.concatenate([x, jnp.zeros((padded - n, x.shape[1]), x.dtype)])
+    return x, n, padded
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _forward_call(flat, x, n_layers, w0s, tile, interpret, out_dim):
+    x_p, n, padded = _pad_batch(x, tile)
+    grid = padded // tile
+    in_specs = [pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)]
+    for p in flat:
+        in_specs.append(
+            pl.BlockSpec(p.shape, lambda i, _nd=p.ndim: (0,) * _nd, memory_space=pltpu.VMEM)
+        )
+    out = pl.pallas_call(
+        functools.partial(_forward_kernel, n_layers, w0s),
+        out_shape=jax.ShapeDtypeStruct((padded, out_dim), jnp.float32),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, out_dim), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x_p, *flat)
+    return out[:n]
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
+def _backward_call(flat, x, g, n_layers, w0s, tile, interpret):
+    x_p, n, padded = _pad_batch(x, tile)
+    g_p, _, _ = _pad_batch(g, tile)  # zero rows contribute zero grads
+    grid = padded // tile
+    in_specs = [
+        pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, g.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    for p in flat:
+        in_specs.append(
+            pl.BlockSpec(p.shape, lambda i, _nd=p.ndim: (0,) * _nd, memory_space=pltpu.VMEM)
+        )
+    out_shapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in flat]
+    out_specs = [
+        pl.BlockSpec(p.shape, lambda i, _nd=p.ndim: (0,) * _nd, memory_space=pltpu.VMEM) for p in flat
+    ]
+    grads = pl.pallas_call(
+        functools.partial(_backward_kernel, n_layers, w0s),
+        out_shape=out_shapes,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+    )(x_p, g_p, *flat)
+    return grads
+
+
+def fused_siren_forward(params, x, n_layers: int, w0: float, w0_initial: float,
+                        tile: int = 512, interpret: bool = False):
+    """Plain fused forward (no VJP wiring) — used for inference."""
+    w0s = tuple([w0_initial] + [w0] * (n_layers - 1) + [0.0])
+    flat = tuple(_flatten_params(params, n_layers))
+    out_dim = flat[-1].shape[0]
+    return _forward_call(flat, x, n_layers, w0s, tile, interpret, out_dim)
+
+
+def fused_siren_apply(params, x, n_layers: int, w0: float, w0_initial: float,
+                      tile: int = 512, interpret: bool = False):
+    """Differentiable fused SIREN stack: custom VJP with in-kernel backward.
+
+    Semantics identical to models.siren._siren_forward (same pytree layout).
+    """
+    w0s = tuple([w0_initial] + [w0] * (n_layers - 1) + [0.0])
+    flat = tuple(_flatten_params(params, n_layers))
+    out_dim = flat[-1].shape[0]
+
+    @jax.custom_vjp
+    def call(flat, x):
+        return _forward_call(flat, x, n_layers, w0s, tile, interpret, out_dim)
+
+    def fwd(flat, x):
+        return call(flat, x), (flat, x)
+
+    def bwd(res, g):
+        flat_saved, x_saved = res
+        grads = _backward_call(flat_saved, x_saved, g, n_layers, w0s, tile, interpret)
+        return tuple(grads), None  # no dx
+
+    call.defvjp(fwd, bwd)
+    out = call(flat, x)
+    return out
+
+
+def unflatten_grads(flat_grads, n_layers):
+    """Rebuild the siren params pytree from the flat grad list."""
+    layers = []
+    for l in range(n_layers):
+        layers.append({"w": flat_grads[2 * l], "b": flat_grads[2 * l + 1]})
+    return {"layers": layers, "last": {"w": flat_grads[-2], "b": flat_grads[-1]}}

@@ -1,0 +1,90 @@
+"""Pallas kernel oracle tests (interpreter mode — CPU-safe).
+
+Each kernel must match its plain-JAX oracle to float tolerance; the compiled
+TPU path shares the exact same kernel body.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mri_interpolation_tpu.models.siren import _siren_forward, _siren_init
+from mri_interpolation_tpu.ops.pallas.fused_mlp import (
+    fused_siren_apply,
+    fused_siren_forward,
+)
+
+KEY = jax.random.key(0)
+
+
+def _setup(n_layers=3, hidden=64, dim_in=3, n=1000):
+    params = _siren_init(KEY, dim_in, hidden, 1, n_layers, 30.0, 30.0, 6.0)
+    x = jax.random.uniform(jax.random.key(1), (n, dim_in))
+    return params, x
+
+
+class TestFusedSirenForward:
+    def test_matches_oracle(self):
+        params, x = _setup()
+        ref = _siren_forward(params, x, 3, 30.0, 30.0)
+        out = fused_siren_forward(params, x, 3, 30.0, 30.0, tile=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_nondivisible_batch_padding(self):
+        params, x = _setup(n=777)  # 777 % 256 != 0
+        ref = _siren_forward(params, x, 3, 30.0, 30.0)
+        out = fused_siren_forward(params, x, 3, 30.0, 30.0, tile=256, interpret=True)
+        assert out.shape == (777, 1)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_different_w0_initial(self):
+        params, x = _setup(n_layers=2)
+        ref = _siren_forward(params, x, 2, 25.0, 50.0)
+        out = fused_siren_forward(params, x, 2, 25.0, 50.0, tile=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_single_layer(self):
+        params, x = _setup(n_layers=1, n=256)
+        ref = _siren_forward(params, x, 1, 30.0, 30.0)
+        out = fused_siren_forward(params, x, 1, 30.0, 30.0, tile=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+class TestFusedSirenVjp:
+    def test_grads_match_oracle(self):
+        params, x = _setup()
+        y = jax.random.normal(jax.random.key(2), (1000, 1))
+        g_ref = jax.grad(lambda p: jnp.mean((_siren_forward(p, x, 3, 30.0, 30.0) - y) ** 2))(params)
+        g_fused = jax.grad(
+            lambda p: jnp.mean((fused_siren_apply(p, x, 3, 30.0, 30.0, tile=256, interpret=True) - y) ** 2)
+        )(params)
+        max_diff = jax.tree.reduce(
+            max, jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g_ref, g_fused)
+        )
+        assert max_diff < 1e-5
+
+    def test_grad_accumulation_across_tiles(self):
+        # multiple grid steps must accumulate, not overwrite
+        params, x = _setup(n=512)
+        y = jnp.zeros((512, 1))
+
+        def loss(p, tile):
+            return jnp.mean((fused_siren_apply(p, x, 3, 30.0, 30.0, tile=tile, interpret=True) - y) ** 2)
+
+        g_one_tile = jax.grad(lambda p: loss(p, 512))(params)
+        g_four_tiles = jax.grad(lambda p: loss(p, 128))(params)
+        max_diff = jax.tree.reduce(
+            max, jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g_one_tile, g_four_tiles)
+        )
+        assert max_diff < 1e-5
+
+    def test_value_matches_under_jit(self):
+        params, x = _setup(n=512)
+
+        @jax.jit
+        def f(p):
+            return fused_siren_apply(p, x, 3, 30.0, 30.0, tile=256, interpret=True)
+
+        ref = _siren_forward(params, x, 3, 30.0, 30.0)
+        np.testing.assert_allclose(np.asarray(f(params)), np.asarray(ref), atol=1e-6)
