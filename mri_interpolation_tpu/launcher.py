@@ -114,6 +114,17 @@ def run(cfg: RunConfig, run_dir: Optional[str] = None) -> dict:
     dim_in = ds.dim_in
     cfg.dim_in = dim_in
 
+    # Hash-resolution sanity for arbitrary-rank volumes: the reference's
+    # default config pairs a 3-axis resolution tuple with the 4D sample volume
+    # (config/base.py:73 vs :79 — a latent crash in the reference). When the
+    # configured tuples don't match the volume rank, derive them from the
+    # volume shape with the reference's base:finest ratio (~1/5.5).
+    if cfg.model_class in ("hash_mlp", "HashMLP", "hash_siren", "HashSirenNet", "TcnnHashMLP"):
+        base = cfg.base_resolution
+        if isinstance(base, (tuple, list)) and len(base) != dim_in:
+            cfg.finest_resolution = tuple(int(s) for s in ds.shape)
+            cfg.base_resolution = tuple(max(2, round(s / 5.5)) for s in ds.shape)
+
     # PSF spacing: half-voxel extents in normalized coordinates.
     spacing = tuple(0.5 / max(s - 1, 1) for s in ds.shape[:3])
     model = build_model(cfg, dim_in, coordinates_spacing=spacing)

@@ -46,6 +46,7 @@ def make_hash_mlp(
     decoder: str = "norm",  # "norm": Linear->BN->act->Dropout | "relu_plain": tcnn-style
     lr: float = 5e-3,
     growth: str = "reference",
+    storage: str = "auto",
 ) -> Model:
     act = _ACTS[activation] if decoder == "norm" else jax.nn.relu
     encoder = HashGridEncoding(
@@ -57,6 +58,7 @@ def make_hash_mlp(
         finest_resolution=finest_resolution,
         per_level_scale=per_level_scale,
         growth=growth,
+        storage=storage,
     )
     widths = [encoder.output_dim] + [dim_hidden] * (n_layers - 1) + [dim_out]
 
