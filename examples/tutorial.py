@@ -80,8 +80,8 @@ def main():
     p_hash = demo("hash MLP", make_hash_mlp(
         dim_in=3, n_levels=4, n_features_per_level=2, log2_hashmap_size=15,
         base_resolution=tuple(max(2, s // 5) for s in shape), finest_resolution=shape,
-        dim_hidden=32, n_layers=2),
-        ds01, TrainConfig(batch_size=2048, epochs=args.epochs, lr=5e-3))
+        dim_hidden=32, n_layers=2, decoder="relu_plain"),
+        ds01, TrainConfig(batch_size=2048, epochs=2 * args.epochs, lr=1e-2))
 
     assert p_siren > 20 and p_hash > 20, "tutorial models should fit the demo volume"
 

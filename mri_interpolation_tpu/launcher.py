@@ -189,7 +189,14 @@ def run(cfg: RunConfig, run_dir: Optional[str] = None) -> dict:
 
     # ----- dense-grid interpolation (parity: launcher.py:191-222; fixes the
     # reference's interp_shape/interp_shapes iteration bug at :196)
-    for shape in cfg.interp_shapes:
+    interp_shapes = list(cfg.interp_shapes)
+    for i, shape in enumerate(interp_shapes):
+        if len(shape) != dim_in:
+            # Rank-adapt the default 3D interp shape to this volume: keep the
+            # volume's grid, double the temporal axis (the reference's
+            # (352,352,30) = full xy + 2x time intent, config/base.py:62).
+            interp_shapes[i] = tuple(ds.shape[:-1]) + (2 * ds.shape[-1],)
+    for shape in dict.fromkeys(interp_shapes):
         interp = evaluate_grid(model, result.params, result.state, shape, lo=lo)
         nifti.save(
             interp.astype(np.float32),
