@@ -110,6 +110,25 @@ class TestEndToEnd:
         assert "odd_psnr" in summary
         assert np.isfinite(summary["odd_psnr"])
 
+    def test_4d_volume_rank_adaptation(self, tmp_path):
+        # 4D volume + default 3-axis hash tuples: launcher must derive
+        # resolutions from the volume shape and rank-adapt interp shapes.
+        vol = synthetic_volume((8, 8, 3, 6), seed=2)
+        path = str(tmp_path / "v4.nii.gz")
+        nifti.save(vol, path)
+        cfg = RunConfig(
+            image_path=path, model_class="hash_mlp", batch_size=512, epochs=2,
+            dim_hidden=16, n_layers=2, log2_hashmap_size=12,
+            interp_shapes=((10, 10, 12),),  # wrong rank on purpose
+            output_root=str(tmp_path / "runs"), save_checkpoint=False,
+        )
+        summary = run(cfg)
+        rd = summary["run_dir"]
+        # rank-adapted to (8, 8, 3, 12): volume grid + doubled time axis
+        assert os.path.exists(os.path.join(rd, "interpolation(8, 8, 3, 12).nii.gz"))
+        pred = nifti.load(os.path.join(rd, "pred.nii.gz"))
+        assert pred.shape == (8, 8, 3, 6)
+
     def test_checkpoint_resume(self, tiny_volume_path, tmp_path):
         cfg = RunConfig(
             image_path=tiny_volume_path, model_class="siren", batch_size=200, epochs=2,
