@@ -15,7 +15,7 @@ import numpy as np
 from .configs import parse_config_txt
 from .io import nifti
 
-__all__ = ["make_figures"]
+__all__ = ["make_figures", "main"]
 
 
 def make_figures(run_dir: str, pred_name: str = "pred.nii.gz", fps: int = 5,
@@ -78,3 +78,24 @@ def make_figures(run_dir: str, pred_name: str = "pred.nii.gz", fps: int = 5,
     if frame_paths:
         out["frames"] = frame_paths
     return out
+
+
+def main(argv=None):
+    """CLI parity with the reference's runnable figure_script.py:
+    ``python -m mri_interpolation_tpu.figures <run_dir>``."""
+    import argparse
+
+    p = argparse.ArgumentParser(description="frame-grid PNG + GIF from a finished run dir")
+    p.add_argument("run_dir")
+    p.add_argument("--pred_name", default="pred.nii.gz")
+    p.add_argument("--fps", type=int, default=5)
+    p.add_argument("--keep_frame_pngs", action="store_true")
+    args = p.parse_args(argv)
+    artifacts = make_figures(args.run_dir, pred_name=args.pred_name, fps=args.fps,
+                             keep_frame_pngs=args.keep_frame_pngs)
+    for k, v in artifacts.items():
+        print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

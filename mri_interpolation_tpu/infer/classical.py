@@ -61,7 +61,8 @@ def main(argv=None):
     p.add_argument("image_path")
     p.add_argument("--out", default="itk_interpolated.nii.gz")
     p.add_argument("--slice_z", type=int, default=3)
-    p.add_argument("--even_frames", action="store_true", default=True)
+    p.add_argument("--even_frames", action=argparse.BooleanOptionalAction, default=True,
+                   help="interpolate from even frames only (--no-even_frames uses all frames)")
     args = p.parse_args(argv)
 
     img = nifti.load(args.image_path)

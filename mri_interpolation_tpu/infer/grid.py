@@ -26,8 +26,26 @@ __all__ = ["flat_index_to_coords", "evaluate_grid", "predict_batched"]
 
 # Compiled-evaluator cache: evaluate_grid is called repeatedly with the same
 # model/geometry (reconstruction + every interp shape + benchmarks); re-jitting
-# a fresh closure per call would pay compile each time.
-_EVAL_CACHE: dict = {}
+# a fresh closure per call would pay compile each time. Bounded LRU: long
+# experiment sweeps must not leak compiled executables. Entries hold strong
+# refs to their model/transform (via the jitted closure), so an id() in the
+# key can never be recycled by a *different* live object while its entry is
+# resident; eviction drops both the executable and those refs together.
+_EVAL_CACHE_MAX = 32
+_EVAL_CACHE: "dict" = {}  # insertion-ordered; move-to-end on hit
+
+
+def _cache_get(key):
+    runner = _EVAL_CACHE.pop(key, None)
+    if runner is not None:
+        _EVAL_CACHE[key] = runner  # re-insert as most recent
+    return runner
+
+
+def _cache_put(key, runner) -> None:
+    _EVAL_CACHE[key] = runner
+    while len(_EVAL_CACHE) > _EVAL_CACHE_MAX:
+        _EVAL_CACHE.pop(next(iter(_EVAL_CACHE)))
 
 
 def flat_index_to_coords(
@@ -81,7 +99,7 @@ def evaluate_grid(
     padded = n_chunks * chunk_size
 
     cache_key = (id(model), shape, lo, hi, chunk_size, frame_idx, id(transform))
-    runner = _EVAL_CACHE.get(cache_key)
+    runner = _cache_get(cache_key)
     if runner is None:
 
         def eval_chunk(carry, start):
@@ -97,7 +115,7 @@ def evaluate_grid(
 
         starts = jnp.arange(n_chunks) * chunk_size
         runner = jax.jit(lambda p, s: jax.lax.scan(eval_chunk, (p, s), starts)[1])
-        _EVAL_CACHE[cache_key] = runner
+        _cache_put(cache_key, runner)
 
     out = runner(params, state)
     out = np.asarray(out).reshape(padded, -1)[:n]
@@ -129,7 +147,7 @@ def predict_batched(
     kwargs = {} if frame_idx is None else {"frame_idx": frame_idx}
 
     cache_key = ("predict", id(model), chunks.shape, frame_idx)
-    runner = _EVAL_CACHE.get(cache_key)
+    runner = _cache_get(cache_key)
     if runner is None:
 
         def eval_chunk(carry, x):
@@ -138,7 +156,7 @@ def predict_batched(
             return carry, y
 
         runner = jax.jit(lambda p, s, c: jax.lax.scan(eval_chunk, (p, s), c)[1])
-        _EVAL_CACHE[cache_key] = runner
+        _cache_put(cache_key, runner)
 
     out = runner(params, state, chunks)
     return np.asarray(out).reshape(padded, -1)[:n]

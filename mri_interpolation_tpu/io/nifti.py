@@ -70,10 +70,10 @@ class NiftiImage:
     def get_fdata(self, dtype=np.float64) -> np.ndarray:
         """Scaled float data, mirroring nibabel's get_fdata semantics."""
         out = np.asarray(self.dataobj, dtype=dtype)
-        # NIfTI: slope == 0 means "no scaling stored".
-        if self.scl_slope not in (0.0, 1.0) or self.scl_inter != 0.0:
-            slope = self.scl_slope if self.scl_slope != 0.0 else 1.0
-            out = out * dtype(slope) + dtype(self.scl_inter)
+        # NIfTI: slope == 0 means "no scaling stored" — both slope AND inter
+        # are ignored then (nibabel semantics; matches native/nifti_codec.cc).
+        if self.scl_slope != 0.0 and (self.scl_slope != 1.0 or self.scl_inter != 0.0):
+            out = out * dtype(self.scl_slope) + dtype(self.scl_inter)
         return out
 
 

@@ -147,6 +147,10 @@ def run(cfg: RunConfig, run_dir: Optional[str] = None) -> dict:
         lr_schedule=cfg.lr_schedule,
         accumulate_grad_batches=cfg.accumulate_grad_batches,
         loss=cfg.loss,
+        # live train_loss stream + per-epoch checkpoints (Lightning parity)
+        log_jsonl=os.path.join(run_dir, "scalars.jsonl"),
+        checkpoint_dir=os.path.join(run_dir, "checkpoints") if cfg.save_checkpoint else None,
+        checkpoint_every_epochs=cfg.checkpoint_every_epochs,
     )
     if cfg.data_parallel and len(jax.devices()) > 1:
         from .parallel import DataParallelTrainer

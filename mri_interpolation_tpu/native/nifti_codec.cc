@@ -108,15 +108,31 @@ void convert_fortran_to_c(const T* src, float* dst, const int64_t* shape, int nd
 
 extern "C" {
 
+// Voxel count from header dims, guarding each dim and the running product
+// against hostile/malformed headers (an int64 overflow could wrap to a small
+// positive n and defeat downstream size checks). Returns -1 on failure.
+static int64_t checked_voxel_count(const NiftiHeader& h) {
+  int64_t n = 1;
+  for (int i = 0; i < h.ndim; ++i) {
+    if (h.shape[i] <= 0) return -1;
+    if (__builtin_mul_overflow(n, h.shape[i], &n)) return -1;
+  }
+  // 2^40 voxels (1 TiB as uint8) is far beyond any real NIfTI and keeps the
+  // byte-size products (n * 8) safely inside size_t.
+  if (n > (int64_t(1) << 40)) return -1;
+  return n;
+}
+
 // Returns total voxel count, or -1 on failure.
 int64_t mit_nifti_probe(const char* path, int64_t* shape, int* ndim, float* pixdim) {
   std::vector<unsigned char> buf;
   if (!read_all(path, buf)) return -1;
   NiftiHeader h;
   if (!parse_header(buf.data(), buf.size(), &h)) return -1;
+  int64_t n = checked_voxel_count(h);
+  if (n < 0) return -1;
   *ndim = h.ndim;
-  int64_t n = 1;
-  for (int i = 0; i < h.ndim; ++i) { shape[i] = h.shape[i]; n *= h.shape[i]; }
+  for (int i = 0; i < h.ndim; ++i) shape[i] = h.shape[i];
   for (int i = 0; i < h.ndim; ++i) pixdim[i] = h.pixdim[i + 1];
   return n;
 }
@@ -131,8 +147,8 @@ int mit_nifti_decode(const char* path, float* out) {
   if (off < 352) off = 352;
   if (off > buf.size()) return 3;
   const unsigned char* data = buf.data() + off;
-  int64_t n = 1;
-  for (int i = 0; i < h.ndim; ++i) n *= h.shape[i];
+  int64_t n = checked_voxel_count(h);
+  if (n < 0) return 6;
   const size_t avail = buf.size() - off;
   switch (h.datatype) {
     case 2:  // uint8

@@ -51,6 +51,17 @@ class TrainConfig:
     accumulate_grad_batches: int = 1
     loss: str = "mse"                # "mse" | "relative_l2"
     shuffle: bool = True
+    # drop_last=True keeps every scan step the same shape (tail n % batch
+    # samples skipped each epoch). The reference's DataLoader default is
+    # drop_last=False; set False here to cover the whole dataset — the final
+    # batch is padded by wrapping around to the permutation's start.
+    drop_last: bool = True
+    # Live scalar stream: per-step train_loss JSONL (reference logs each step
+    # to TensorBoard, models.py:65). None disables.
+    log_jsonl: Optional[str] = None
+    # Epoch-boundary checkpoints (Lightning auto-saves per epoch). 0 disables.
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every_epochs: int = 0
 
 
 @dataclass
@@ -154,7 +165,7 @@ class Trainer:
         cfg = self.config
         n = len(coords)
         batch = min(cfg.batch_size, n)
-        steps_per_epoch = n // batch
+        steps_per_epoch = n // batch if cfg.drop_last else -(-n // batch)
         if steps_per_epoch == 0:
             raise ValueError(f"batch_size {batch} exceeds dataset size {n}")
 
@@ -181,6 +192,9 @@ class Trainer:
             else:
                 step_key0 = epoch_key
                 perm = jnp.arange(n)
+            pad = steps_per_epoch * batch - n
+            if pad > 0:  # drop_last=False: wrap the final batch around
+                perm = jnp.concatenate([perm, perm[:pad]])
             idx = perm[: steps_per_epoch * batch].reshape(steps_per_epoch, batch)
 
             def body(carry, batch_idx):
@@ -203,16 +217,34 @@ class Trainer:
         donate_argnums = (0, 1, 2) if donate else ()
         epoch_jit = jax.jit(epoch_fn, donate_argnums=donate_argnums)
 
+        logger = None
+        if cfg.log_jsonl:
+            from .scalars import ScalarLogger
+
+            logger = ScalarLogger(cfg.log_jsonl)
+
         all_losses = []
         epoch_times = []
         t0 = time.perf_counter()
-        for _ in range(cfg.epochs):
+        for e in range(cfg.epochs):
             key, ek = jax.random.split(key)
             te = time.perf_counter()
             params, state, opt_state, losses = epoch_jit(params, state, opt_state, ek)
             jax.block_until_ready(losses)
             epoch_times.append(time.perf_counter() - te)
             all_losses.append(losses)
+            if logger is not None:
+                logger.log_epoch_losses(e, e * steps_per_epoch, np.asarray(losses))
+            if (
+                cfg.checkpoint_dir
+                and cfg.checkpoint_every_epochs > 0
+                and (e + 1) % cfg.checkpoint_every_epochs == 0
+            ):
+                from .checkpoint import save_checkpoint
+
+                save_checkpoint(cfg.checkpoint_dir, (e + 1) * steps_per_epoch, params, state, opt_state)
+        if logger is not None:
+            logger.close()
         jax.block_until_ready(params)
         wall = time.perf_counter() - t0
 

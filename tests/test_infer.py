@@ -80,3 +80,29 @@ class TestClassicalBaseline:
     def test_rank_mismatch_raises(self):
         with pytest.raises(ValueError, match="rank"):
             linear_interpolate_volume(np.zeros((4, 4)), (4, 4, 4))
+
+
+class TestEvalCacheBound:
+    def test_lru_eviction(self):
+        from mri_interpolation_tpu.infer import grid as g
+        from mri_interpolation_tpu.models import make_siren
+
+        g._EVAL_CACHE.clear()
+        model = make_siren(dim_in=2, dim_hidden=4, n_layers=2)
+        params, state = model.init(jax.random.key(0))
+        for i in range(g._EVAL_CACHE_MAX + 4):
+            g.evaluate_grid(model, params, state, (3, 3 + i), chunk_size=8)
+        assert len(g._EVAL_CACHE) == g._EVAL_CACHE_MAX
+
+    def test_hit_reuses_runner(self):
+        from mri_interpolation_tpu.infer import grid as g
+        from mri_interpolation_tpu.models import make_siren
+
+        g._EVAL_CACHE.clear()
+        model = make_siren(dim_in=2, dim_hidden=4, n_layers=2)
+        params, state = model.init(jax.random.key(0))
+        a = g.evaluate_grid(model, params, state, (4, 4), chunk_size=8)
+        assert len(g._EVAL_CACHE) == 1
+        b = g.evaluate_grid(model, params, state, (4, 4), chunk_size=8)
+        assert len(g._EVAL_CACHE) == 1
+        np.testing.assert_array_equal(a, b)

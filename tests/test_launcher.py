@@ -155,3 +155,67 @@ class TestFigures:
         out = make_figures(summary["run_dir"])
         assert os.path.exists(out["grid"])
         assert os.path.exists(out["gif"])
+
+
+class TestTupleFlags:
+    def test_parse_tuple_flag_forms(self):
+        from mri_interpolation_tpu.configs import parse_tuple_flag
+
+        assert parse_tuple_flag("64,64,5") == (64, 64, 5)
+        assert parse_tuple_flag("(64,64,5)") == (64, 64, 5)
+        assert parse_tuple_flag("(352,352,30),(352,352,60)") == ((352, 352, 30), (352, 352, 60))
+        assert parse_tuple_flag("[2, 4]") == (2, 4)
+
+    def test_cli_tuple_overrides(self):
+        from mri_interpolation_tpu.launcher import build_parser
+
+        args = build_parser().parse_args([
+            "--base_resolution", "8,8,4",
+            "--finest_resolution", "(16,16,8)",
+            "--interp_shapes", "(20,20,10)",
+            "--skip_connections", "2",
+        ])
+        cfg = configs.override_from_args(configs.default_hash_config(), args)
+        assert cfg.base_resolution == (8, 8, 4)
+        assert cfg.finest_resolution == (16, 16, 8)
+        assert cfg.interp_shapes == ((20, 20, 10),)   # single shape wrapped
+        assert cfg.skip_connections == (2,)
+
+    def test_cli_multi_interp_shapes(self):
+        from mri_interpolation_tpu.launcher import build_parser
+
+        args = build_parser().parse_args(["--interp_shapes", "(20,20,10),(20,20,20)"])
+        cfg = configs.override_from_args(configs.default_hash_config(), args)
+        assert cfg.interp_shapes == ((20, 20, 10), (20, 20, 20))
+
+
+class TestJsonComments:
+    def test_url_in_string_survives(self, tmp_path):
+        p = tmp_path / "c.json"
+        p.write_text('{\n  // a comment\n  "url": "https://x//y", // trailing\n  "n_levels": 3\n}\n')
+        cfg = configs.load_json_config(str(p))
+        assert cfg["url"] == "https://x//y"
+        assert cfg["n_levels"] == 3
+
+    def test_escaped_quote_in_string(self, tmp_path):
+        p = tmp_path / "c.json"
+        p.write_text('{"s": "a\\"b // not a comment", "k": 1} // tail\n')
+        cfg = configs.load_json_config(str(p))
+        assert cfg["s"] == 'a"b // not a comment'
+        assert cfg["k"] == 1
+
+
+class TestFiguresCli:
+    def test_module_main(self, tiny_volume_path, tmp_path, capsys):
+        from mri_interpolation_tpu import figures
+        from mri_interpolation_tpu.io import nifti
+
+        run_dir = tmp_path / "version_0"
+        run_dir.mkdir()
+        vol = np.random.default_rng(0).random((8, 8, 6), np.float32)
+        nifti.save(vol, str(run_dir / "pred.nii.gz"))
+        figures.main([str(run_dir), "--fps", "3"])
+        outp = capsys.readouterr().out
+        assert "grid:" in outp and "gif:" in outp
+        assert (run_dir / "frames_grid.png").exists()
+        assert (run_dir / "frames.gif").exists()

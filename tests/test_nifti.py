@@ -101,3 +101,18 @@ class TestVolumeDataset:
         a = volume.synthetic_volume((8, 8), seed=3)
         b = volume.synthetic_volume((8, 8), seed=3)
         np.testing.assert_array_equal(a, b)
+
+
+class TestScaleSemantics:
+    def test_slope_zero_ignores_inter(self):
+        from mri_interpolation_tpu.io.nifti import NiftiImage
+
+        img = NiftiImage(dataobj=np.arange(4, dtype=np.int16), scl_slope=0.0, scl_inter=5.0)
+        # nibabel semantics: slope==0 means "no scaling stored" -> inter ignored
+        np.testing.assert_array_equal(img.get_fdata(), np.arange(4, dtype=np.float64))
+
+    def test_slope_one_inter_applied(self):
+        from mri_interpolation_tpu.io.nifti import NiftiImage
+
+        img = NiftiImage(dataobj=np.arange(4, dtype=np.int16), scl_slope=1.0, scl_inter=2.0)
+        np.testing.assert_array_equal(img.get_fdata(), np.arange(4) + 2.0)

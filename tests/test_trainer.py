@@ -159,3 +159,48 @@ class TestCheckpoint:
     def test_missing_dir_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             restore_checkpoint(str(tmp_path / "nope"))
+
+
+class TestDropLastAndLogging:
+    def test_drop_last_false_covers_all_samples(self, small_dataset):
+        n = len(small_dataset)
+        batch = 500  # n=1728 -> 3 full batches + 228 tail
+        model = make_siren(dim_in=3, dim_hidden=8, n_layers=2)
+        cfg = TrainConfig(batch_size=batch, epochs=2, lr=1e-3, seed=0, drop_last=False)
+        result = Trainer(cfg).fit(model, small_dataset.coords, small_dataset.values)
+        assert result.steps == 2 * (-(-n // batch))
+        cfg_drop = TrainConfig(batch_size=batch, epochs=2, lr=1e-3, seed=0, drop_last=True)
+        result_drop = Trainer(cfg_drop).fit(model, small_dataset.coords, small_dataset.values)
+        assert result_drop.steps == 2 * (n // batch)
+
+    def test_scalar_stream_jsonl(self, tmp_path, small_dataset):
+        from mri_interpolation_tpu.train import read_scalars
+
+        log = str(tmp_path / "scalars.jsonl")
+        model = make_siren(dim_in=3, dim_hidden=8, n_layers=2)
+        cfg = TrainConfig(batch_size=512, epochs=3, lr=1e-3, seed=0, log_jsonl=log)
+        result = Trainer(cfg).fit(model, small_dataset.coords, small_dataset.values)
+        recs = read_scalars(log, tag="train_loss")
+        assert len(recs) == result.steps
+        assert [r["step"] for r in recs] == list(range(result.steps))
+        np.testing.assert_allclose([r["value"] for r in recs], result.losses, rtol=1e-6)
+
+    def test_per_epoch_checkpoints(self, tmp_path, small_dataset):
+        from mri_interpolation_tpu.train import latest_step
+
+        ckdir = str(tmp_path / "ck")
+        model = make_siren(dim_in=3, dim_hidden=8, n_layers=2)
+        cfg = TrainConfig(batch_size=512, epochs=4, lr=1e-3, seed=0,
+                          checkpoint_dir=ckdir, checkpoint_every_epochs=2)
+        result = Trainer(cfg).fit(model, small_dataset.coords, small_dataset.values)
+        steps_per_epoch = result.steps // 4
+        import os
+        saved = sorted((d for d in os.listdir(ckdir) if d.startswith("step_")),
+                       key=lambda s: int(s.split("_")[1]))
+        assert saved == [f"step_{2 * steps_per_epoch}", f"step_{4 * steps_per_epoch}"]
+        restored = restore_checkpoint(ckdir)  # latest
+        assert latest_step(ckdir) == 4 * steps_per_epoch
+        flat_r = jax.tree.leaves(restored["params"])
+        flat_p = jax.tree.leaves(jax.device_get(result.params))
+        for a, b in zip(flat_r, flat_p):
+            np.testing.assert_allclose(a, b)
