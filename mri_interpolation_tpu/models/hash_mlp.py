@@ -47,7 +47,15 @@ def make_hash_mlp(
     lr: float = 5e-3,
     growth: str = "reference",
     storage: str = "auto",
+    fused: str = "auto",  # "auto" | "on" | "off" | "interpret": Pallas kernels
 ) -> Model:
+    """``fused``: on Mosaic-capable backends ("auto" detects them), the
+    encoder runs as the fused Pallas hash-encode kernel when its table fits
+    VMEM, and a ``decoder="relu_plain"`` stack runs as the fused MLP kernel
+    (the tcnn Encoding+FullyFusedMLP pair, reference models.py:615-639).
+    The XLA paths remain bit-equivalent fallbacks (tests/test_pallas.py)."""
+    from ..ops.pallas import fused_mlp_apply, pallas_hash_encode, resolve_fused, table_fits_vmem
+
     act = _ACTS[activation] if decoder == "norm" else jax.nn.relu
     encoder = HashGridEncoding(
         dim=dim_in,
@@ -60,6 +68,10 @@ def make_hash_mlp(
         growth=growth,
         storage=storage,
     )
+    mode = resolve_fused(fused)
+    fuse_encoder = mode != "off" and table_fits_vmem(encoder)
+    fuse_decoder = mode != "off" and decoder == "relu_plain"
+    interp = mode == "interpret"
     widths = [encoder.output_dim] + [dim_hidden] * (n_layers - 1) + [dim_out]
 
     def init(key):
@@ -79,7 +91,14 @@ def make_hash_mlp(
         return params, state
 
     def apply(params, state, x, train=False, rng=None):
-        z = encoder.apply(params["encoder"], x)
+        if fuse_encoder:
+            z = pallas_hash_encode(encoder, params["encoder"], x, interpret=interp)
+        else:
+            z = encoder.apply(params["encoder"], x)
+        if fuse_decoder:
+            # tcnn FullyFusedMLP shape: ReLU between layers, identity output
+            # (config/hash_config.json:23-27) — one Pallas kernel per tile.
+            return fused_mlp_apply(params["layers"], z, "relu", interpret=interp), state
         new_bn = []
         rngs = jax.random.split(rng, n_layers) if (rng is not None and dropout_rate > 0) else [None] * n_layers
         for i in range(n_layers):

@@ -85,17 +85,32 @@ def make_siren(
     w0_initial: float = 30.0,
     sigma: float = 6.0,
     lr: float = 1e-4,
+    fused: str = "auto",  # "auto" | "on" | "off" | "interpret": Pallas fused stack
 ) -> Model:
-    """Canonical SIREN (defaults match SirenNet, models.py:179-191)."""
+    """Canonical SIREN (defaults match SirenNet, models.py:179-191).
+
+    ``fused="auto"`` runs the whole layer stack as one Pallas kernel (weights
+    VMEM-resident, tcnn-FullyFusedMLP style) on backends that execute Mosaic
+    kernels, and falls back to the XLA path elsewhere — outputs are
+    equivalence-tested in tests/test_pallas.py / test_models.py."""
+    from ..ops.pallas import fused_siren_apply, resolve_fused
+
+    mode = resolve_fused(fused)
 
     def init(key):
         return _siren_init(key, dim_in, dim_hidden, dim_out, n_layers, w0, w0_initial, sigma), {}
 
     def apply(params, state, x, train=False, rng=None):
-        return _siren_forward(params, x, n_layers, w0, w0_initial), state
+        if mode != "off":
+            out = fused_siren_apply(params, x, n_layers, w0, w0_initial,
+                                    interpret=(mode == "interpret"))
+        else:
+            out = _siren_forward(params, x, n_layers, w0, w0_initial)
+        return out, state
 
     return Model(init=init, apply=apply, dim_in=dim_in, dim_out=dim_out, name="siren",
-                 hparams={"lr": lr, "dim_hidden": dim_hidden, "n_layers": n_layers, "w0": w0})
+                 hparams={"lr": lr, "dim_hidden": dim_hidden, "n_layers": n_layers, "w0": w0,
+                          "fused": mode})
 
 
 def make_modulated_siren(

@@ -40,7 +40,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["fused_siren_forward", "fused_siren_apply", "pallas_supported"]
+__all__ = [
+    "fused_siren_forward",
+    "fused_siren_apply",
+    "fused_mlp_forward",
+    "fused_mlp_apply",
+    "pallas_supported",
+]
 
 
 def pallas_supported() -> bool:
@@ -61,7 +67,37 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _forward_kernel(n_layers: int, w0s: Tuple[float, ...], x_ref, *refs):
+# Per-layer activations are static descriptors: ("sine", w0) | ("relu",) |
+# ("gelu",) | ("id",). The gelu matches jax.nn.gelu(approximate=True).
+_SQRT_2_OVER_PI = float(np.sqrt(2.0 / np.pi))
+
+
+def _act(a, z):
+    if a[0] == "sine":
+        return jnp.sin(a[1] * z)
+    if a[0] == "relu":
+        return jnp.maximum(z, 0.0)
+    if a[0] == "gelu":
+        u = _SQRT_2_OVER_PI * (z + 0.044715 * z**3)
+        return 0.5 * z * (1.0 + jnp.tanh(u))
+    return z  # "id"
+
+
+def _act_grad(a, z):
+    """d act / d z, evaluated at pre-activation z."""
+    if a[0] == "sine":
+        return a[1] * jnp.cos(a[1] * z)
+    if a[0] == "relu":
+        return (z > 0.0).astype(jnp.float32)
+    if a[0] == "gelu":
+        u = _SQRT_2_OVER_PI * (z + 0.044715 * z**3)
+        t = jnp.tanh(u)
+        du = _SQRT_2_OVER_PI * (1.0 + 3.0 * 0.044715 * z**2)
+        return 0.5 * (1.0 + t) + 0.5 * z * (1.0 - t**2) * du
+    return jnp.ones_like(z)
+
+
+def _forward_kernel(n_layers: int, acts: Tuple[tuple, ...], x_ref, *refs):
     """refs = [W0, b0, ..., W_{L}, b_{L}, out_ref]. Biases are (1, H)."""
     out_ref = refs[-1]
     h = x_ref[:]
@@ -69,15 +105,21 @@ def _forward_kernel(n_layers: int, w0s: Tuple[float, ...], x_ref, *refs):
         w = refs[2 * l][:]
         b = refs[2 * l + 1][:]
         z = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
-        h = jnp.sin(w0s[l] * z) if l < n_layers else z
+        h = _act(acts[l], z)
     out_ref[:] = h
 
 
-def _backward_kernel(n_layers: int, w0s: Tuple[float, ...], x_ref, g_ref, *refs):
-    """refs = [W0, b0, ..., WL, bL, dW0, db0, ..., dWL, dbL]."""
+def _backward_kernel(n_layers: int, acts: Tuple[tuple, ...], need_dx: bool,
+                     x_ref, g_ref, *refs):
+    """refs = [W0, b0, ..., WL, bL, dW0, db0, ..., dWL, dbL, (dx?)].
+
+    ``need_dx``: emit input-cotangents too (a per-tile output block). Needed
+    when the stack's input is an upstream differentiable op (e.g. the hash
+    encoder feeding the fused decoder); skipped for coordinate inputs."""
     n_params = 2 * (n_layers + 1)
     w_refs = refs[:n_params]
-    grad_refs = refs[n_params:]
+    grad_refs = refs[n_params : n_params + n_params]
+    dx_ref = refs[-1] if need_dx else None
 
     # Zero the accumulators on the first tile (sequential-grid accumulation).
     @pl.when(pl.program_id(0) == 0)
@@ -94,17 +136,19 @@ def _backward_kernel(n_layers: int, w0s: Tuple[float, ...], x_ref, g_ref, *refs)
         b = w_refs[2 * l + 1][:]
         z = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
         zs.append(z)
-        h = jnp.sin(w0s[l] * z) if l < n_layers else z
+        h = _act(acts[l], z)
         hs.append(h)
 
-    # Backprop (no dx): dz_l flows backward through the stack.
-    dz = g_ref[:]  # last layer is identity
+    # Backprop: dz_l flows backward through the stack.
+    dz = g_ref[:] * _act_grad(acts[n_layers], zs[n_layers])
     for l in range(n_layers, -1, -1):
         grad_refs[2 * l][:] += jnp.dot(hs[l].T, dz, preferred_element_type=jnp.float32)
         grad_refs[2 * l + 1][:] += jnp.sum(dz, axis=0, keepdims=True)
         if l > 0:
             dh = jnp.dot(dz, w_refs[2 * l][:].T, preferred_element_type=jnp.float32)
-            dz = dh * (w0s[l - 1] * jnp.cos(w0s[l - 1] * zs[l - 1]))
+            dz = dh * _act_grad(acts[l - 1], zs[l - 1])
+        elif need_dx:
+            dx_ref[:] = jnp.dot(dz, w_refs[0][:].T, preferred_element_type=jnp.float32)
 
 
 def _flatten_params(params, n_layers):
@@ -127,7 +171,7 @@ def _pad_batch(x, tile):
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
-def _forward_call(flat, x, n_layers, w0s, tile, interpret, out_dim):
+def _forward_call(flat, x, n_layers, acts, tile, interpret, out_dim):
     x_p, n, padded = _pad_batch(x, tile)
     grid = padded // tile
     in_specs = [pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM)]
@@ -136,7 +180,7 @@ def _forward_call(flat, x, n_layers, w0s, tile, interpret, out_dim):
             pl.BlockSpec(p.shape, lambda i, _nd=p.ndim: (0,) * _nd, memory_space=pltpu.VMEM)
         )
     out = pl.pallas_call(
-        functools.partial(_forward_kernel, n_layers, w0s),
+        functools.partial(_forward_kernel, n_layers, acts),
         out_shape=jax.ShapeDtypeStruct((padded, out_dim), jnp.float32),
         grid=(grid,),
         in_specs=in_specs,
@@ -146,8 +190,8 @@ def _forward_call(flat, x, n_layers, w0s, tile, interpret, out_dim):
     return out[:n]
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6))
-def _backward_call(flat, x, g, n_layers, w0s, tile, interpret):
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _backward_call(flat, x, g, n_layers, acts, tile, interpret, need_dx=False):
     x_p, n, padded = _pad_batch(x, tile)
     g_p, _, _ = _pad_batch(g, tile)  # zero rows contribute zero grads
     grid = padded // tile
@@ -163,24 +207,52 @@ def _backward_call(flat, x, g, n_layers, w0s, tile, interpret):
     out_specs = [
         pl.BlockSpec(p.shape, lambda i, _nd=p.ndim: (0,) * _nd, memory_space=pltpu.VMEM) for p in flat
     ]
-    grads = pl.pallas_call(
-        functools.partial(_backward_kernel, n_layers, w0s),
+    if need_dx:
+        out_shapes.append(jax.ShapeDtypeStruct((padded, x.shape[1]), jnp.float32))
+        out_specs.append(pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
+        functools.partial(_backward_kernel, n_layers, acts, need_dx),
         out_shape=out_shapes,
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_specs,
         interpret=interpret,
     )(x_p, g_p, *flat)
-    return grads
+    if need_dx:
+        return outs[:-1], outs[-1][:n]
+    return outs
+
+
+def _siren_acts(n_layers, w0, w0_initial):
+    return tuple([("sine", w0_initial)] + [("sine", w0)] * (n_layers - 1) + [("id",)])
+
+
+def _apply_with_vjp(flat, x, n_layers, acts, tile, interpret):
+    out_dim = flat[-1].shape[-1]  # last bias is (1, dim_out)
+
+    @jax.custom_vjp
+    def call(flat, x):
+        return _forward_call(flat, x, n_layers, acts, tile, interpret, out_dim)
+
+    def fwd(flat, x):
+        return call(flat, x), (flat, x)
+
+    def bwd(res, g):
+        flat_saved, x_saved = res
+        grads = _backward_call(flat_saved, x_saved, g, n_layers, acts, tile, interpret)
+        return tuple(grads), None  # no dx
+
+    call.defvjp(fwd, bwd)
+    return call(flat, x)
 
 
 def fused_siren_forward(params, x, n_layers: int, w0: float, w0_initial: float,
                         tile: int = 512, interpret: bool = False):
     """Plain fused forward (no VJP wiring) — used for inference."""
-    w0s = tuple([w0_initial] + [w0] * (n_layers - 1) + [0.0])
+    acts = _siren_acts(n_layers, w0, w0_initial)
     flat = tuple(_flatten_params(params, n_layers))
-    out_dim = flat[-1].shape[0]
-    return _forward_call(flat, x, n_layers, w0s, tile, interpret, out_dim)
+    out_dim = flat[-1].shape[-1]  # last bias is (1, dim_out)
+    return _forward_call(flat, x, n_layers, acts, tile, interpret, out_dim)
 
 
 def fused_siren_apply(params, x, n_layers: int, w0: float, w0_initial: float,
@@ -189,21 +261,57 @@ def fused_siren_apply(params, x, n_layers: int, w0: float, w0_initial: float,
 
     Semantics identical to models.siren._siren_forward (same pytree layout).
     """
-    w0s = tuple([w0_initial] + [w0] * (n_layers - 1) + [0.0])
+    acts = _siren_acts(n_layers, w0, w0_initial)
     flat = tuple(_flatten_params(params, n_layers))
-    out_dim = flat[-1].shape[0]
+    return _apply_with_vjp(flat, x, n_layers, acts, tile, interpret)
+
+
+def _flatten_layer_list(layers):
+    """Flatten [{"w","b"}, ...] into (W0, b0, W1, b1, ...), biases (1, H)."""
+    flat = []
+    for l in layers:
+        flat.append(l["w"])
+        flat.append(l["b"].reshape(1, -1))
+    return tuple(flat)
+
+
+def fused_mlp_forward(layers, x, activation: str = "relu",
+                      tile: int = 512, interpret: bool = False):
+    """Fused plain MLP forward over a layer list: ``activation`` between
+    layers, identity output — the tcnn FullyFusedMLP shape
+    (config/hash_config.json:22-28)."""
+    n_hidden = len(layers) - 1
+    acts = tuple([(activation,)] * n_hidden + [("id",)])
+    flat = _flatten_layer_list(layers)
+    out_dim = flat[-1].shape[-1]  # last bias is (1, dim_out)
+    return _forward_call(flat, x, n_hidden, acts, tile, interpret, out_dim)
+
+
+def fused_mlp_apply(layers, x, activation: str = "relu",
+                    tile: int = 512, interpret: bool = False):
+    """Differentiable fused plain MLP (relu/gelu hidden activations, identity
+    output) over a ``[{"w", "b"}, ...]`` layer list; differentiable wrt the
+    layer parameters (custom VJP with in-kernel backward), like
+    ``fused_siren_apply``."""
+    n_hidden = len(layers) - 1
+    acts = tuple([(activation,)] * n_hidden + [("id",)])
+    flat = _flatten_layer_list(layers)
+    out_dim = flat[-1].shape[-1]  # last bias is (1, dim_out)
 
     @jax.custom_vjp
     def call(flat, x):
-        return _forward_call(flat, x, n_layers, w0s, tile, interpret, out_dim)
+        return _forward_call(flat, x, n_hidden, acts, tile, interpret, out_dim)
 
     def fwd(flat, x):
         return call(flat, x), (flat, x)
 
     def bwd(res, g):
         flat_saved, x_saved = res
-        grads = _backward_call(flat_saved, x_saved, g, n_layers, w0s, tile, interpret)
-        return tuple(grads), None  # no dx
+        # dx is required: the stack's input is typically an upstream encoder
+        # output (gradients must keep flowing into the hash table).
+        grads, dx = _backward_call(flat_saved, x_saved, g, n_hidden, acts, tile,
+                                   interpret, need_dx=True)
+        return tuple(grads), dx
 
     call.defvjp(fwd, bwd)
     out = call(flat, x)

@@ -1,0 +1,247 @@
+"""Fused multiresolution hash-encode Pallas kernel.
+
+The TPU-native replacement for tinycudann's HashGrid encoding kernel
+(reference models.py:615-627, config/hash_config.json:13-21; pure-python
+semantics at reference encoding.py:69-128): per level — scale, floor/frac,
+2^d corner enumeration, spatial hash (or dense row-major vertex indexing),
+table row gathers, multilinear weight product — all fused into one kernel per
+batch tile, with the fused level table pinned in VMEM for the kernel's
+lifetime.
+
+Why VMEM-resident tables: TPU random gather from HBM is the hash-encoding
+wall (~130-145M ids/s measured on this chip regardless of row width); a
+gather that stays inside VMEM avoids it entirely. The kernel therefore
+requires the fused (total_size, F) table to fit the VMEM budget
+(``table_fits_vmem``) — true for the reference's default config and for
+per-level hashed tables up to ~2^20 rows x F2 — and the XLA path remains the
+fallback for larger tables.
+
+Backward (custom VJP): grid programs execute sequentially on TPU, so the
+table-gradient output block is zero-initialized at program 0 and accumulated
+with a value-level scatter-add per (level, corner) — the Pallas analogue of
+tcnn's atomic-add table updates. Coordinate gradients are not produced
+(coords are data in INR training).
+
+Geometry (resolutions, sizes, offsets, dense/hashed dispatch, strides) is
+compile-time static, baked from the ``HashGridEncoding`` instance so kernel
+and oracle share one source of truth.
+
+ENVIRONMENT NOTE: the 'axon' TPU tunnel in this build environment does not
+execute Mosaic/Pallas kernels (launch hangs — probed round 1); kernels are
+validated in interpreter mode against the XLA oracle (tests/test_pallas.py)
+and gated behind ``pallas_supported()`` for real TPU VMs.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...encodings.hashgrid import PRIMES, HashGridEncoding
+from .fused_mlp import pallas_supported
+
+__all__ = ["pallas_hash_encode", "hash_encode_forward", "table_fits_vmem"]
+
+# Conservative VMEM budget for the resident table (16 MB/core total, minus
+# activations/weights working set).
+_VMEM_TABLE_BYTES = 8 * 2**20
+
+
+def table_fits_vmem(enc: HashGridEncoding) -> bool:
+    return enc.total_size * enc.n_features_per_level * 4 <= _VMEM_TABLE_BYTES
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _level_consts(enc: HashGridEncoding):
+    """Static per-level constants baked into the kernel."""
+    levels = []
+    d = enc.input_dim
+    for l in range(enc.n_levels):
+        res = enc.level_resolutions[l].astype(np.int64)
+        verts = res + 1
+        vstrides = np.concatenate([np.cumprod(verts[::-1])[::-1][1:], [1]]).astype(np.int64)
+        levels.append(
+            dict(
+                dense=bool(enc.level_dense[l]),
+                res=tuple(int(r) for r in res),
+                vstrides=tuple(int(s) for s in vstrides),
+                size=int(enc.level_sizes[l]),
+                offset=int(enc.level_offsets[l]),
+            )
+        )
+    return levels
+
+
+def _corner_ids_weights(x_cols, lc, d: int, corner: int):
+    """One level/corner: (global row ids, trilinear weight) for a batch tile.
+
+    Shares the oracle's math exactly (encodings/hashgrid.py): truncation
+    floor, dense clamp-to-res-1, tcnn uint32 prime-XOR hash for hashed levels.
+    """
+    xi, xf = [], []
+    for k in range(d):
+        s = x_cols[k] * float(lc["res"][k])
+        i = s.astype(jnp.int32)
+        if lc["dense"]:
+            i = jnp.clip(i, 0, lc["res"][k] - 1)
+        xi.append(i)
+        xf.append(s - i.astype(jnp.float32))
+
+    w = None
+    for k in range(d):
+        f = xf[k] if (corner >> k) & 1 else 1.0 - xf[k]
+        w = f if w is None else w * f
+
+    if lc["dense"]:
+        idx = None
+        for k in range(d):
+            t = (xi[k] + ((corner >> k) & 1)) * np.int32(lc["vstrides"][k])
+            idx = t if idx is None else idx + t
+    else:
+        h = None
+        for k in range(d):
+            t = (xi[k] + ((corner >> k) & 1)).astype(jnp.uint32) * np.uint32(PRIMES[k])
+            h = t if h is None else h ^ t
+        idx = (h % np.uint32(lc["size"])).astype(jnp.int32)
+    return idx + np.int32(lc["offset"]), w
+
+
+def _forward_kernel(levels, d: int, F: int, x_ref, table_ref, out_ref):
+    C = 1 << d
+    x_cols = [x_ref[:, k] for k in range(d)]
+    for l, lc in enumerate(levels):
+        acc = None
+        for c in range(C):
+            idx, w = _corner_ids_weights(x_cols, lc, d, c)
+            rows = table_ref[idx]  # (tile, F) VMEM gather
+            contrib = rows * w[:, None]
+            acc = contrib if acc is None else acc + contrib
+        out_ref[:, l * F : (l + 1) * F] = acc
+
+
+def _backward_kernel(levels, d: int, F: int, x_ref, g_ref, dtable_ref):
+    """dL/dtable via sequential-grid accumulation: every program owns the same
+    (total_size, F) output block; zero it once, scatter-add per tile."""
+    C = 1 << d
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dtable_ref[:] = jnp.zeros_like(dtable_ref)
+
+    x_cols = [x_ref[:, k] for k in range(d)]
+    acc = dtable_ref[:]
+    for l, lc in enumerate(levels):
+        gl = g_ref[:, l * F : (l + 1) * F]  # (tile, F)
+        for c in range(C):
+            idx, w = _corner_ids_weights(x_cols, lc, d, c)
+            acc = acc.at[idx].add(gl * w[:, None])
+    dtable_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _forward_call(table, x, enc_key, tile, interpret):
+    enc, levels = _ENC_REGISTRY[enc_key]
+    d, F, L = enc.input_dim, enc.n_features_per_level, enc.n_levels
+    n = x.shape[0]
+    padded = _round_up(max(n, 1), tile)
+    if padded != n:
+        x = jnp.concatenate([x, jnp.zeros((padded - n, d), x.dtype)])
+    grid = padded // tile
+    out = pl.pallas_call(
+        functools.partial(_forward_kernel, levels, d, F),
+        out_shape=jax.ShapeDtypeStruct((padded, L * F), jnp.float32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(table.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, L * F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, table)
+    return out[:n]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _backward_call(x, g, table_shape_rows, enc_key, tile, interpret):
+    enc, levels = _ENC_REGISTRY[enc_key]
+    d, F = enc.input_dim, enc.n_features_per_level
+    n = x.shape[0]
+    padded = _round_up(max(n, 1), tile)
+    if padded != n:
+        x = jnp.concatenate([x, jnp.zeros((padded - n, d), x.dtype)])
+        g = jnp.concatenate([g, jnp.zeros((padded - n, g.shape[1]), g.dtype)])
+    grid = padded // tile
+    dtable = pl.pallas_call(
+        functools.partial(_backward_kernel, levels, d, F),
+        out_shape=jax.ShapeDtypeStruct((table_shape_rows, F), jnp.float32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, g.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((table_shape_rows, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, g)
+    return dtable
+
+
+# Kernels close over static geometry; jit static args must be hashable, so
+# encodings register under a small static key.
+_ENC_REGISTRY: dict = {}
+
+
+def _register(enc: HashGridEncoding) -> tuple:
+    key = (
+        enc.input_dim,
+        enc.n_levels,
+        enc.n_features_per_level,
+        tuple(map(tuple, enc.level_resolutions.tolist())),
+        tuple(enc.level_sizes.tolist()),
+        tuple(bool(b) for b in enc.level_dense),
+    )
+    if key not in _ENC_REGISTRY:
+        _ENC_REGISTRY[key] = (enc, _level_consts(enc))
+    return key
+
+
+def hash_encode_forward(enc: HashGridEncoding, params, x, tile: int = 1024,
+                        interpret: bool = False) -> jnp.ndarray:
+    """Plain fused forward (no VJP wiring) — inference path."""
+    key = _register(enc)
+    return _forward_call(params["table"], x, key, tile, interpret)
+
+
+def pallas_hash_encode(enc: HashGridEncoding, params, x, tile: int = 1024,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Differentiable fused hash encode: custom VJP with in-kernel scatter-add
+    table gradients. Semantics identical to ``HashGridEncoding.apply``."""
+    if not table_fits_vmem(enc):
+        raise ValueError(
+            f"hash table ({enc.total_size} x {enc.n_features_per_level} fp32) exceeds the "
+            f"VMEM-resident budget ({_VMEM_TABLE_BYTES} B); use the XLA path"
+        )
+    key = _register(enc)
+    rows = int(params["table"].shape[0])
+
+    @jax.custom_vjp
+    def call(table, x):
+        return _forward_call(table, x, key, tile, interpret)
+
+    def fwd(table, x):
+        return call(table, x), x
+
+    def bwd(x_saved, g):
+        dtable = _backward_call(x_saved, g, rows, key, tile, interpret)
+        return dtable, None  # no dx: coords are data
+
+    call.defvjp(fwd, bwd)
+    return call(params["table"], x)

@@ -126,12 +126,13 @@ def main():
                       n_frequencies=352, n_frequencies_t=15, skip_connections=(2,)),
         TrainConfig(batch_size=20000, epochs=int(30 * k) or 2, lr=1e-3, weight_decay=1e-5), ds01))
 
-    # 8. Gabor / WIRE (sigma tuned so the Gaussian term doesn't kill init
-    # activations — the reference leaves GaborNet tuning to optuna)
+    # 8. Gabor / WIRE: SIREN-scaled auto init (models/gabor.py) makes the
+    # reference's w0=30/sigma=10 converge in 3D (the reference leaves GaborNet
+    # tuning to optuna, models.py:879)
     rows.append(fit_and_eval(
         "gabor 256x4",
-        make_gabor_net(dim_in=3, dim_hidden=256, n_layers=4, w0=10.0, sigma=0.3),
-        TrainConfig(batch_size=20000, epochs=int(50 * k) or 2, lr=5e-3),
+        make_gabor_net(dim_in=3, dim_hidden=256, n_layers=4),
+        TrainConfig(batch_size=20000, epochs=int(50 * k) or 2, lr=3e-4),
         ds11, lo=-1.0, data_range=2.0))
 
     # 9. quality-tuned dense hash (features nearly free under row-gathers)

@@ -258,3 +258,93 @@ class TestRegistry:
     def test_unknown_raises(self):
         with pytest.raises(KeyError):
             get_model_factory("DoesNotExist")
+
+
+class TestGaborAutoInit:
+    def test_auto_init_envelope_near_one(self):
+        # SIREN-scaled init: the Gaussian envelope must start near-transparent
+        # (that's what makes 3D convergence possible; collapse to ~0 was the
+        # torch-init failure mode).
+        model = make_gabor_net(dim_in=3, dim_hidden=64, n_layers=3, init_scheme="auto")
+        params, state = model.init(KEY)
+        x = jax.random.uniform(jax.random.key(9), (256, 3), minval=-1.0, maxval=1.0)
+        lyr = params["layers"][0]
+        scale = (x @ lyr["scale"]["w"] + lyr["scale"]["b"]) * 10.0
+        env = np.asarray(jnp.exp(-(scale**2)))
+        assert env.mean() > 0.8
+
+    def test_torch_init_scheme_still_available(self):
+        model = make_gabor_net(dim_in=3, dim_hidden=8, n_layers=2, init_scheme="torch")
+        params, _ = model.init(KEY)
+        assert len(params["layers"]) == 2
+
+    def test_converges_on_small_3d(self):
+        from mri_interpolation_tpu.io import dataset_from_array, synthetic_volume
+        from mri_interpolation_tpu.train import TrainConfig, Trainer
+
+        ds = dataset_from_array(synthetic_volume((10, 10, 10), seed=3), zero_centered=True)
+        model = make_gabor_net(dim_in=3, dim_hidden=32, n_layers=3)
+        res = Trainer(TrainConfig(batch_size=500, epochs=30, lr=3e-4, seed=0)).fit(
+            model, ds.coords, ds.values)
+        assert res.losses[-1] < res.losses[0] * 0.2
+
+
+class TestFusedWiring:
+    def test_siren_fused_interpret_matches_off(self):
+        m_off = make_siren(dim_in=3, dim_hidden=16, n_layers=2, fused="off")
+        m_int = make_siren(dim_in=3, dim_hidden=16, n_layers=2, fused="interpret")
+        params, state = m_off.init(KEY)
+        y_off, _ = m_off.apply(params, state, X3)
+        y_int, _ = m_int.apply(params, state, X3)
+        np.testing.assert_allclose(np.asarray(y_int), np.asarray(y_off), atol=1e-6)
+
+    def test_siren_auto_resolves_off_here(self):
+        # this environment has no Mosaic-capable backend -> auto == off
+        m = make_siren(dim_in=3, dim_hidden=8, n_layers=2, fused="auto")
+        assert m.hparams["fused"] == "off"
+
+    def test_hash_mlp_fused_interpret_matches_off(self):
+        kw = dict(dim_in=3, n_levels=3, n_features_per_level=2, log2_hashmap_size=10,
+                  base_resolution=(6, 6, 3), finest_resolution=(20, 20, 9),
+                  dim_hidden=16, n_layers=2, decoder="relu_plain")
+        m_off = make_hash_mlp(fused="off", **kw)
+        m_int = make_hash_mlp(fused="interpret", **kw)
+        params, state = m_off.init(KEY)
+        x = jax.random.uniform(jax.random.key(12), (300, 3))
+        y_off, _ = m_off.apply(params, state, x)
+        y_int, _ = m_int.apply(params, state, x)
+        np.testing.assert_allclose(np.asarray(y_int), np.asarray(y_off), atol=1e-5)
+
+    def test_hash_mlp_fused_grads_match(self):
+        kw = dict(dim_in=2, n_levels=2, n_features_per_level=2, log2_hashmap_size=8,
+                  base_resolution=4, finest_resolution=16,
+                  dim_hidden=8, n_layers=2, decoder="relu_plain")
+        m_off = make_hash_mlp(fused="off", **kw)
+        m_int = make_hash_mlp(fused="interpret", **kw)
+        params, state = m_off.init(KEY)
+        x = jax.random.uniform(jax.random.key(13), (200, 2))
+        y = jax.random.normal(jax.random.key(14), (200, 1))
+
+        def loss(m):
+            return lambda p: jnp.mean((m.apply(p, state, x)[0] - y) ** 2)
+
+        g_off = jax.grad(loss(m_off))(params)
+        g_int = jax.grad(loss(m_int))(params)
+        diffs = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), g_off, g_int)
+        assert jax.tree.reduce(max, diffs) < 1e-5
+
+    def test_fused_mlp_relu_gelu_match_oracle(self):
+        from mri_interpolation_tpu.models.core import dense, dense_init
+        from mri_interpolation_tpu.ops.pallas import fused_mlp_apply
+
+        keys = jax.random.split(KEY, 3)
+        layers = [dense_init(keys[0], 8, 16), dense_init(keys[1], 16, 16), dense_init(keys[2], 16, 2)]
+        x = jax.random.normal(jax.random.key(15), (150, 8))
+        for act_name, act in [("relu", jax.nn.relu), ("gelu", jax.nn.gelu)]:
+            z = x
+            for i, l in enumerate(layers):
+                z = dense(l, z)
+                if i < len(layers) - 1:
+                    z = act(z)
+            out = fused_mlp_apply(layers, x, act_name, tile=128, interpret=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(z), atol=1e-5)

@@ -88,3 +88,101 @@ class TestFusedSirenVjp:
 
         ref = _siren_forward(params, x, 3, 30.0, 30.0)
         np.testing.assert_allclose(np.asarray(f(params)), np.asarray(ref), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# hash-encode kernel
+
+
+from mri_interpolation_tpu.encodings import HashGridEncoding
+from mri_interpolation_tpu.ops.pallas.hash_encode import (
+    hash_encode_forward,
+    pallas_hash_encode,
+    table_fits_vmem,
+)
+
+
+def _enc_setup(storage="auto", dim=3, n=1000, **kw):
+    enc = HashGridEncoding(
+        dim=dim,
+        n_levels=kw.pop("n_levels", 4),
+        n_features_per_level=kw.pop("n_features_per_level", 2),
+        log2_hashmap_size=kw.pop("log2_hashmap_size", 12),
+        base_resolution=kw.pop("base_resolution", (8, 8, 4)[:dim]),
+        finest_resolution=kw.pop("finest_resolution", (33, 33, 17)[:dim]),
+        storage=storage,
+        **kw,
+    )
+    params = enc.init(jax.random.key(3))
+    x = jax.random.uniform(jax.random.key(4), (n, dim))
+    return enc, params, x
+
+
+class TestHashEncodeForward:
+    @pytest.mark.parametrize("storage", ["auto", "hashed"])
+    def test_matches_oracle(self, storage):
+        enc, params, x = _enc_setup(storage)
+        ref = enc.apply(params, x)
+        out = hash_encode_forward(enc, params, x, tile=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_mixed_dense_hashed_levels(self):
+        # auto storage with a tight budget: coarse levels dense, fine hashed
+        enc, params, x = _enc_setup("auto", log2_hashmap_size=10, n=513)
+        assert enc.level_dense.any() and not enc.level_dense.all()
+        ref = enc.apply(params, x)
+        out = hash_encode_forward(enc, params, x, tile=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_2d(self):
+        enc, params, x = _enc_setup("auto", dim=2, n=300)
+        ref = enc.apply(params, x)
+        out = hash_encode_forward(enc, params, x, tile=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    def test_vmem_gate(self):
+        enc = HashGridEncoding(dim=3, n_levels=16, n_features_per_level=2,
+                               log2_hashmap_size=19, base_resolution=16,
+                               finest_resolution=None, per_level_scale=1.4)
+        assert not table_fits_vmem(enc)
+        params = enc.init(jax.random.key(0))
+        with pytest.raises(ValueError, match="VMEM"):
+            pallas_hash_encode(enc, params, jnp.zeros((4, 3)), interpret=True)
+
+
+class TestHashEncodeVjp:
+    @pytest.mark.parametrize("storage", ["auto", "hashed"])
+    def test_table_grads_match_oracle(self, storage):
+        enc, params, x = _enc_setup(storage, n=700)
+        y = jax.random.normal(jax.random.key(5), (700, enc.output_dim))
+
+        def loss_ref(p):
+            return jnp.mean((enc.apply(p, x) - y) ** 2)
+
+        def loss_kernel(p):
+            return jnp.mean((pallas_hash_encode(enc, p, x, tile=256, interpret=True) - y) ** 2)
+
+        g_ref = jax.grad(loss_ref)(params)["table"]
+        g_k = jax.grad(loss_kernel)(params)["table"]
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_ref), atol=1e-6)
+
+    def test_grad_accumulation_across_tiles(self):
+        enc, params, x = _enc_setup("auto", n=512)
+        y = jnp.zeros((512, enc.output_dim))
+
+        def loss(p, tile):
+            return jnp.mean((pallas_hash_encode(enc, p, x, tile=tile, interpret=True) - y) ** 2)
+
+        g1 = jax.grad(lambda p: loss(p, 512))(params)["table"]
+        g4 = jax.grad(lambda p: loss(p, 128))(params)["table"]
+        np.testing.assert_allclose(np.asarray(g4), np.asarray(g1), atol=1e-6)
+
+    def test_value_under_jit(self):
+        enc, params, x = _enc_setup("auto", n=512)
+
+        @jax.jit
+        def f(p):
+            return pallas_hash_encode(enc, p, x, tile=256, interpret=True)
+
+        ref = enc.apply(params, x)
+        np.testing.assert_allclose(np.asarray(f(params)), np.asarray(ref), atol=1e-6)
