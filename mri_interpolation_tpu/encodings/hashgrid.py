@@ -342,23 +342,67 @@ class HashGridEncoding:
             for i, l in enumerate(dense_levels):
                 outs[l] = feats[i]
 
-        # ---- hashed levels: per-corner gathers, reference hash semantics
+        # ---- hashed levels: ONE packed gather + custom VJP with one packed
+        # scatter-add (autodiff would emit per-level/per-corner scatters and
+        # rematerialize corner rows; XLA scatter on this TPU costs ~50ns/id,
+        # so the backward is structured around a single scatter op and the
+        # cheap id/weight recompute).
         hashed_levels = [l for l in range(L) if not self.level_dense[l]]
-        for l in hashed_levels:
+        if hashed_levels:
+            feats = self._hashed_features(table, xs, n)  # (N, Lh, F)
+            for i, l in enumerate(hashed_levels):
+                outs[l] = feats[:, i]
+
+        out = jnp.concatenate(outs, axis=-1)  # (N, L*F)
+        return out.reshape(*lead, self.output_dim)
+
+    # ------------------------------------------------------------------
+    # hashed-levels packed path
+
+    def _hashed_ids_weights(self, xs):
+        """All hashed levels' corner rows + weights: (N, Lh, C) each."""
+        d, C = self.input_dim, 1 << self.input_dim
+        primes = [np.uint32(p) for p in PRIMES[:d]]
+        ids_l, w_l = [], []
+        for l in range(self.n_levels):
+            if self.level_dense[l]:
+                continue
             xi, xf = self._level_xi_xf(xs, l, clamp=False)
-            primes = [np.uint32(p) for p in PRIMES[:d]]
             size = np.uint32(self.level_sizes[l])
-            acc = None
+            ids_c, w_c = [], []
             for c in range(C):
                 h = None
                 for k in range(d):
                     t = (xi[k] + ((c >> k) & 1)).astype(jnp.uint32) * primes[k]
                     h = t if h is None else h ^ t
-                idx = (h % size).astype(jnp.int32) + np.int32(self.level_offsets[l])
-                w = self._corner_weight(xf, c)
-                contrib = jnp.take(table, idx, axis=0) * w[:, None]  # (N, F)
-                acc = contrib if acc is None else acc + contrib
-            outs[l] = acc
+                ids_c.append((h % size).astype(jnp.int32) + np.int32(self.level_offsets[l]))
+                w_c.append(self._corner_weight(xf, c))
+            ids_l.append(jnp.stack(ids_c, axis=-1))
+            w_l.append(jnp.stack(w_c, axis=-1))
+        return jnp.stack(ids_l, axis=1), jnp.stack(w_l, axis=1)
 
-        out = jnp.concatenate(outs, axis=-1)  # (N, L*F)
-        return out.reshape(*lead, self.output_dim)
+    def _hashed_features(self, table, xs, n: int):
+        """(N, Lh, F) features for all hashed levels, differentiable wrt table."""
+        F = self.n_features_per_level
+        Lh = int((~self.level_dense).sum())
+        C = 1 << self.input_dim
+        rows_total = self.total_size
+
+        @jax.custom_vjp
+        def call(table, xs):
+            ids, w = self._hashed_ids_weights(xs)
+            rows = jnp.take(table, ids.reshape(-1), axis=0).reshape(n, Lh, C, F)
+            return jnp.einsum("nlcf,nlc->nlf", rows, w)
+
+        def fwd(table, xs):
+            return call(table, xs), xs
+
+        def bwd(xs_saved, g):
+            # recompute ids/weights (VPU-cheap) instead of saving (N, Lh, C)
+            ids, w = self._hashed_ids_weights(xs_saved)
+            contrib = (g[:, :, None, :] * w[..., None]).reshape(-1, F)
+            dtable = jnp.zeros((rows_total, F), g.dtype).at[ids.reshape(-1)].add(contrib)
+            return dtable, None  # no dx: coords are data
+
+        call.defvjp(fwd, bwd)
+        return call(table, xs)

@@ -52,15 +52,21 @@ __all__ = [
 def pallas_supported() -> bool:
     """True when compiled Pallas kernels can run on the current backend.
 
-    The 'axon' TPU tunnel hangs on Mosaic kernel launch; CPU needs interpreter
-    mode. Set MIT_FORCE_PALLAS=1 to override (real TPU VMs).
+    The 'axon' TPU tunnel does not execute Mosaic kernels (launches hang or
+    miscompute); CPU needs interpreter mode. The tunnel no longer marks its
+    devices (platform='tpu', str='TPU v5 lite0'), so detect it the way its own
+    bootstrap does: the PALLAS_AXON_POOL_IPS env var. Set MIT_FORCE_PALLAS=1
+    to override (real TPU VMs), MIT_DISABLE_PALLAS=1 to force off.
     """
     import os
 
+    if os.environ.get("MIT_DISABLE_PALLAS") == "1":
+        return False
     if os.environ.get("MIT_FORCE_PALLAS") == "1":
         return True
-    platform = jax.devices()[0].platform
-    return platform == "tpu" and "axon" not in str(jax.devices()[0]).lower()
+    if os.environ.get("PALLAS_AXON_POOL_IPS"):  # axon tunnel
+        return False
+    return jax.devices()[0].platform == "tpu"
 
 
 def _round_up(x: int, m: int) -> int:

@@ -27,9 +27,17 @@ compile-time static, baked from the ``HashGridEncoding`` instance so kernel
 and oracle share one source of truth.
 
 ENVIRONMENT NOTE: the 'axon' TPU tunnel in this build environment does not
-execute Mosaic/Pallas kernels (launch hangs — probed round 1); kernels are
-validated in interpreter mode against the XLA oracle (tests/test_pallas.py)
-and gated behind ``pallas_supported()`` for real TPU VMs.
+execute Mosaic/Pallas kernels; kernels are validated in interpreter mode
+against the XLA oracle (tests/test_pallas.py) and gated behind
+``pallas_supported()``.
+
+LOWERING STATUS (probed 2026-08-16 on jax 0.8.x Mosaic): the fused MLP
+kernels lower AND compile for TPU (matmul + elementwise only), but Mosaic in
+this jax has no lowering for vector gather/scatter primitives
+("Unimplemented primitive ... gather / scatter-add / dynamic_slice"), so THIS
+kernel's compiled path requires a newer Mosaic with ``dynamic_gather``
+support; until then ``pallas_supported()`` keeps the XLA path in charge and
+the kernel body documents the target design.
 """
 
 from __future__ import annotations

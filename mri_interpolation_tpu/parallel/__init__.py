@@ -2,11 +2,21 @@
 
 from .data_parallel import DataParallelTrainer, evaluate_grid_sharded, fit_multi_volume
 from .mesh import Mesh, NamedSharding, P, make_mesh, replicated, sharded_batch
+from .sharded_table import (
+    ShardedHashTrainer,
+    plan_level_sharding,
+    shard_table,
+    unshard_table,
+)
 
 __all__ = [
     "DataParallelTrainer",
     "evaluate_grid_sharded",
     "fit_multi_volume",
+    "ShardedHashTrainer",
+    "plan_level_sharding",
+    "shard_table",
+    "unshard_table",
     "make_mesh",
     "replicated",
     "sharded_batch",
