@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["HashGridEncoding", "PRIMES", "spatial_hash"]
+__all__ = ["HashGridEncoding", "PRIMES", "spatial_hash", "temporal_table_tv"]
 
 # Hash primes (supports up to 7-D input), same constants as tcnn grid.h /
 # reference encoding.py:40.
@@ -126,6 +126,7 @@ class HashGridEncoding:
         growth: str = "reference",
         init_scale: float = 1e-4,
         storage: str = "auto",
+        cell_view_max_cells: int = 1 << 18,
     ):
         """``storage`` selects the per-level table layout:
 
@@ -133,13 +134,18 @@ class HashGridEncoding:
           (prod(res+1)) fits the level's hashmap budget is stored DENSE
           (direct row-major indexing, collision-free) — exactly tcnn's
           dense/hashed switch (tiny-cuda-nn grid.h); larger levels hash.
-          Dense levels use the TPU-optimal path: one row-gather per
-          (voxel, level) from a cell-corner view built from 2^d shifted
-          slices (sequential memory traffic), ~8x fewer random accesses
-          than per-corner gathers.
         - ``"hashed"``: every level hashes — bit-exact reference semantics
           (encoding.py:108-128 always hashes, even when the grid fits).
         - ``"dense"``: force dense (errors if a level exceeds its budget).
+
+        Dense levels further split by ``cell_view_max_cells`` (an execution
+        detail, not a semantics change): SMALL dense levels use the
+        cell-corner VIEW path — one fused row-gather per (voxel, level) from
+        a view built out of 2^d shifted slices, whose per-step cost scales
+        with the GRID size (sequential traffic); BIG dense levels join the
+        hashed levels' packed per-corner path, whose cost scales with the
+        BATCH (measured crossover ~2^18 cells: a (352,352,15) cell view costs
+        ~240 MB of traffic per step, dwarfing 80K random ids).
         """
         if dim > len(PRIMES):
             raise ValueError(f"hash grid supports at most {len(PRIMES)}-D inputs, got {dim}")
@@ -178,6 +184,9 @@ class HashGridEncoding:
         self.level_sizes = np.where(dense, vertex_counts, sizes).astype(np.int64)
         self.level_offsets = np.concatenate([[0], np.cumsum(self.level_sizes)]).astype(np.int64)
         self.total_size = int(self.level_offsets[-1])
+        # Execution-path split for dense levels (see __init__ docstring).
+        cell_counts = np.prod(res.astype(np.int64), axis=1)
+        self.level_cellview = dense & (cell_counts <= cell_view_max_cells)  # (L,) bool
 
         # Corner bit pattern: corner c uses xi+1 on dims whose bit is set
         # (complement of the reference's bin_mask, encoding.py:101-106).
@@ -278,7 +287,7 @@ class HashGridEncoding:
         return ids.reshape(*lead, L, C), weights.reshape(*lead, L, C)
 
     def _dense_cell_table(self, table):
-        """Concatenated cell-corner view over all dense levels.
+        """Concatenated cell-corner view over the CELL-VIEW dense levels.
 
         Each dense level's vertex grid is expanded into a (n_cells, C*F) view
         by stacking 2^d SHIFTED SLICES — sequential memory traffic only — so
@@ -288,7 +297,7 @@ class HashGridEncoding:
         d, C, F = self.input_dim, 1 << self.input_dim, self.n_features_per_level
         views = []
         for l in range(self.n_levels):
-            if not self.level_dense[l]:
+            if not self.level_cellview[l]:
                 continue
             res = self.level_resolutions[l]
             verts = tuple(int(r) + 1 for r in res)
@@ -305,8 +314,9 @@ class HashGridEncoding:
     def apply(self, params, x):
         """Encode coords -> (..., L * F) features.
 
-        Dense levels: one fused row-gather from the cell-corner view.
-        Hashed levels: per-corner hashed gathers (reference semantics).
+        Small dense levels: one fused row-gather from the cell-corner view.
+        Big dense + hashed levels: packed per-corner gathers with a
+        single-scatter custom VJP.
         """
         table = params["table"]
         d, L, C, F = self.input_dim, self.n_levels, 1 << self.input_dim, self.n_features_per_level
@@ -317,8 +327,8 @@ class HashGridEncoding:
 
         outs: list = [None] * L
 
-        # ---- dense levels: fused cell-view row-gather
-        dense_levels = [l for l in range(L) if self.level_dense[l]]
+        # ---- small dense levels: fused cell-view row-gather
+        dense_levels = [l for l in range(L) if self.level_cellview[l]]
         if dense_levels:
             cv = self._dense_cell_table(table)  # (total_cells, C*F)
             cell_offset = 0
@@ -342,67 +352,117 @@ class HashGridEncoding:
             for i, l in enumerate(dense_levels):
                 outs[l] = feats[i]
 
-        # ---- hashed levels: ONE packed gather + custom VJP with one packed
-        # scatter-add (autodiff would emit per-level/per-corner scatters and
-        # rematerialize corner rows; XLA scatter on this TPU costs ~50ns/id,
-        # so the backward is structured around a single scatter op and the
-        # cheap id/weight recompute).
-        hashed_levels = [l for l in range(L) if not self.level_dense[l]]
-        if hashed_levels:
-            feats = self._hashed_features(table, xs, n)  # (N, Lh, F)
-            for i, l in enumerate(hashed_levels):
+        # ---- big dense + hashed levels: ONE packed gather + custom VJP with
+        # one packed scatter-add (autodiff would emit per-level/per-corner
+        # scatters and rematerialize corner rows; XLA scatter on this TPU
+        # costs ~50ns/id, so the backward is structured around a single
+        # scatter op and the cheap id/weight recompute).
+        packed_levels = [l for l in range(L) if not self.level_cellview[l]]
+        if packed_levels:
+            feats = self._packed_features(table, xs, n)  # (N, Lp, F)
+            for i, l in enumerate(packed_levels):
                 outs[l] = feats[:, i]
 
         out = jnp.concatenate(outs, axis=-1)  # (N, L*F)
         return out.reshape(*lead, self.output_dim)
 
     # ------------------------------------------------------------------
-    # hashed-levels packed path
+    # packed per-corner path (big dense + hashed levels)
 
-    def _hashed_ids_weights(self, xs):
-        """All hashed levels' corner rows + weights: (N, Lh, C) each."""
+    def _packed_ids_weights(self, xs):
+        """Corner rows + weights for every non-cell-view level: (N, Lp, C).
+
+        Big dense levels use direct row-major vertex indexing (clamped);
+        hashed levels the tcnn spatial hash — same math as the oracle paths.
+        """
         d, C = self.input_dim, 1 << self.input_dim
         primes = [np.uint32(p) for p in PRIMES[:d]]
         ids_l, w_l = [], []
         for l in range(self.n_levels):
-            if self.level_dense[l]:
+            if self.level_cellview[l]:
                 continue
-            xi, xf = self._level_xi_xf(xs, l, clamp=False)
-            size = np.uint32(self.level_sizes[l])
+            dense = bool(self.level_dense[l])
+            xi, xf = self._level_xi_xf(xs, l, clamp=dense)
             ids_c, w_c = [], []
-            for c in range(C):
-                h = None
-                for k in range(d):
-                    t = (xi[k] + ((c >> k) & 1)).astype(jnp.uint32) * primes[k]
-                    h = t if h is None else h ^ t
-                ids_c.append((h % size).astype(jnp.int32) + np.int32(self.level_offsets[l]))
-                w_c.append(self._corner_weight(xf, c))
+            if dense:
+                vstr = self._vertex_strides(l)
+                for c in range(C):
+                    idx = None
+                    for k in range(d):
+                        t = (xi[k] + ((c >> k) & 1)) * np.int32(vstr[k])
+                        idx = t if idx is None else idx + t
+                    ids_c.append(idx + np.int32(self.level_offsets[l]))
+                    w_c.append(self._corner_weight(xf, c))
+            else:
+                size = np.uint32(self.level_sizes[l])
+                for c in range(C):
+                    h = None
+                    for k in range(d):
+                        t = (xi[k] + ((c >> k) & 1)).astype(jnp.uint32) * primes[k]
+                        h = t if h is None else h ^ t
+                    ids_c.append((h % size).astype(jnp.int32) + np.int32(self.level_offsets[l]))
+                    w_c.append(self._corner_weight(xf, c))
             ids_l.append(jnp.stack(ids_c, axis=-1))
             w_l.append(jnp.stack(w_c, axis=-1))
         return jnp.stack(ids_l, axis=1), jnp.stack(w_l, axis=1)
 
-    def _hashed_features(self, table, xs, n: int):
-        """(N, Lh, F) features for all hashed levels, differentiable wrt table."""
+    def _packed_features(self, table, xs, n: int):
+        """(N, Lp, F) features for non-cell-view levels, differentiable wrt
+        table.
+
+        Backward: ONE packed narrow scatter-add over all packed levels.
+        (A wide-row variant — per-voxel (C*F) rows into a cell-indexed
+        buffer + slice-stack adjoint — was measured 5x SLOWER end-to-end
+        despite the favorable per-id scatter cost: XLA lowers the big-grid
+        slice adjoint poorly. Keep the single narrow scatter.)
+        """
+        d = self.input_dim
         F = self.n_features_per_level
-        Lh = int((~self.level_dense).sum())
-        C = 1 << self.input_dim
+        packed = [l for l in range(self.n_levels) if not self.level_cellview[l]]
+        Lp = len(packed)
+        C = 1 << d
         rows_total = self.total_size
 
         @jax.custom_vjp
         def call(table, xs):
-            ids, w = self._hashed_ids_weights(xs)
-            rows = jnp.take(table, ids.reshape(-1), axis=0).reshape(n, Lh, C, F)
+            ids, w = self._packed_ids_weights(xs)
+            rows = jnp.take(table, ids.reshape(-1), axis=0).reshape(n, Lp, C, F)
             return jnp.einsum("nlcf,nlc->nlf", rows, w)
 
         def fwd(table, xs):
             return call(table, xs), xs
 
         def bwd(xs_saved, g):
-            # recompute ids/weights (VPU-cheap) instead of saving (N, Lh, C)
-            ids, w = self._hashed_ids_weights(xs_saved)
+            # recompute ids/weights (VPU-cheap) instead of saving (N, Lp, C)
+            ids, w = self._packed_ids_weights(xs_saved)
             contrib = (g[:, :, None, :] * w[..., None]).reshape(-1, F)
             dtable = jnp.zeros((rows_total, F), g.dtype).at[ids.reshape(-1)].add(contrib)
             return dtable, None  # no dx: coords are data
 
         call.defvjp(fwd, bwd)
         return call(table, xs)
+
+
+def temporal_table_tv(enc: HashGridEncoding, table: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared difference of adjacent TIME-axis vertices across every
+    dense level's feature grid (time = the volume's last axis).
+
+    A smoothness prior for the even-frame interpolation protocol: with the
+    time resolution at the full frame grid, the held-out frames' vertices are
+    unconstrained by the data term; this regularizer couples them to their
+    trained neighbors (new capability — the reference sketches hash-table
+    regularization only as comments, hash_experimentation.py:464-544).
+    """
+    total, count = 0.0, 0
+    for l in range(enc.n_levels):
+        if not enc.level_dense[l]:
+            continue
+        verts = tuple(int(r) + 1 for r in enc.level_resolutions[l])
+        if verts[-1] < 2:
+            continue
+        seg = table[int(enc.level_offsets[l]) : int(enc.level_offsets[l + 1])]
+        grid = seg.reshape(*verts, enc.n_features_per_level)
+        diff = jnp.diff(grid, axis=len(verts) - 1)
+        total = total + jnp.sum(diff**2)
+        count += int(np.prod(diff.shape))
+    return total / max(count, 1)

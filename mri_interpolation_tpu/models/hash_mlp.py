@@ -47,7 +47,9 @@ def make_hash_mlp(
     lr: float = 5e-3,
     growth: str = "reference",
     storage: str = "auto",
+    cell_view_max_cells: int = 1 << 18,
     fused: str = "auto",  # "auto" | "on" | "off" | "interpret": Pallas kernels
+    temporal_tv: float = 0.0,  # weight of the time-axis table smoothness prior
 ) -> Model:
     """``fused``: on Mosaic-capable backends ("auto" detects them), the
     encoder runs as the fused Pallas hash-encode kernel when its table fits
@@ -67,6 +69,7 @@ def make_hash_mlp(
         per_level_scale=per_level_scale,
         growth=growth,
         storage=storage,
+        cell_view_max_cells=cell_view_max_cells,
     )
     mode = resolve_fused(fused)
     fuse_encoder = mode != "off" and table_fits_vmem(encoder)
@@ -115,6 +118,20 @@ def make_hash_mlp(
         new_state = {"bn": new_bn} if decoder == "norm" else state
         return z, new_state
 
+    loss_fn = None
+    if temporal_tv > 0.0:
+        from ..encodings.hashgrid import temporal_table_tv
+        from ..train.losses import mse_loss
+
+        def loss_fn(params, state, batch, rng, train):
+            # MSE + temporal smoothness prior on the dense tables' time axis
+            # (couples held-out frames' vertices to trained neighbors under
+            # the even-frame protocol).
+            x, y = batch
+            y_pred, new_state = apply(params, state, x, train=train, rng=rng)
+            reg = temporal_table_tv(encoder, params["encoder"]["table"])
+            return mse_loss(y_pred, y) + temporal_tv * reg, new_state
+
     return Model(init=init, apply=apply, dim_in=dim_in, dim_out=dim_out, name="hash_mlp",
                  hparams={"lr": lr, "n_levels": n_levels, "encoder": encoder,
-                          "decoder": decoder, "dim_hidden": dim_hidden})
+                          "decoder": decoder, "dim_hidden": dim_hidden}, loss_fn=loss_fn)

@@ -6,7 +6,7 @@ import os
 
 import jax
 
-__all__ = ["setup_compilation_cache", "enable_nan_debugging"]
+__all__ = ["setup_compilation_cache", "enable_nan_debugging", "capture_trace", "time_fn"]
 
 
 def setup_compilation_cache(cache_dir: str = "/root/.cache/jax_comp", min_compile_secs: float = 1.0) -> None:
@@ -26,3 +26,46 @@ def enable_nan_debugging() -> None:
     a sanitizer mode (SURVEY.md §5: the reference has none; JAX gives us one
     flag)."""
     jax.config.update("jax_debug_nans", True)
+
+
+def capture_trace(fn, outdir: str, *args, iters: int = 3, **kwargs):
+    """Run ``fn(*args, **kwargs)`` ``iters`` times under a ``jax.profiler``
+    trace and write the artifact to ``outdir`` (view with TensorBoard or
+    Perfetto). First-class profiling — the reference's only instrumentation
+    is wall-clock ``time.time()`` (launcher.py:90,167). Returns fn's last
+    result.
+
+    The result is synced to HOST between iterations (this environment's TPU
+    tunnel makes ``block_until_ready`` a no-op, so a plain block would record
+    dispatch, not execution).
+    """
+    import numpy as np
+
+    os.makedirs(outdir, exist_ok=True)
+    out = None
+    with jax.profiler.trace(outdir):
+        for _ in range(iters):
+            out = fn(*args, **kwargs)
+            jax.tree.map(lambda a: np.asarray(a) if hasattr(a, "dtype") else a, out)
+    return out
+
+
+def time_fn(fn, *args, iters: int = 10, **kwargs) -> float:
+    """Milliseconds per call, host-sync-forced (see ``capture_trace`` note).
+    For device-bound microbenchmarks prefer scan-amortized in-program timing;
+    this helper times whole dispatch+execute round trips."""
+    import time as _time
+
+    import numpy as np
+
+    def run():
+        out = fn(*args, **kwargs)
+        return jax.tree.map(lambda a: np.asarray(a) if hasattr(a, "dtype") else a, out)
+
+    run()  # compile
+    best = float("inf")
+    for _ in range(max(iters, 1)):
+        t0 = _time.perf_counter()
+        run()
+        best = min(best, (_time.perf_counter() - t0) * 1000)
+    return best

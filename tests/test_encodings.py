@@ -239,3 +239,31 @@ class TestHashGridForward:
         params = enc.init(jax.random.key(6))
         out = enc.apply(params, jax.random.uniform(jax.random.key(7), (11, 4)))
         assert out.shape == (11, 2 * 2)
+
+
+class TestCellViewSplit:
+    def test_big_dense_levels_match_cellview_path(self):
+        """The per-corner gathered path for big dense levels is an execution
+        detail: outputs must match the cell-view path exactly."""
+        kw = dict(dim=3, n_levels=3, n_features_per_level=2, log2_hashmap_size=20,
+                  base_resolution=(8, 8, 4), finest_resolution=(40, 40, 20), growth="paper")
+        enc_view = HashGridEncoding(cell_view_max_cells=1 << 30, **kw)   # all cell-view
+        enc_split = HashGridEncoding(cell_view_max_cells=4000, **kw)     # finest gathered
+        assert enc_split.level_cellview.sum() < enc_split.n_levels
+        assert enc_view.level_cellview.all()
+        params = enc_view.init(jax.random.key(0))
+        x = jax.random.uniform(jax.random.key(1), (777, 3))
+        np.testing.assert_allclose(np.asarray(enc_split.apply(params, x)),
+                                   np.asarray(enc_view.apply(params, x)), atol=1e-6)
+
+    def test_big_dense_grads_match(self):
+        kw = dict(dim=2, n_levels=2, n_features_per_level=2, log2_hashmap_size=16,
+                  base_resolution=8, finest_resolution=64)
+        enc_view = HashGridEncoding(cell_view_max_cells=1 << 30, **kw)
+        enc_split = HashGridEncoding(cell_view_max_cells=100, **kw)
+        params = enc_view.init(jax.random.key(2))
+        x = jax.random.uniform(jax.random.key(3), (500, 2))
+        y = jax.random.normal(jax.random.key(4), (500, enc_view.output_dim))
+        g1 = jax.grad(lambda p: jnp.mean((enc_view.apply(p, x) - y) ** 2))(params)["table"]
+        g2 = jax.grad(lambda p: jnp.mean((enc_split.apply(p, x) - y) ** 2))(params)["table"]
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-6)

@@ -204,3 +204,23 @@ class TestDropLastAndLogging:
         flat_p = jax.tree.leaves(jax.device_get(result.params))
         for a, b in zip(flat_r, flat_p):
             np.testing.assert_allclose(a, b)
+
+
+class TestTemporalTV:
+    def test_tv_reduces_time_roughness(self):
+        from mri_interpolation_tpu.encodings.hashgrid import temporal_table_tv
+
+        ds = dataset_from_array(synthetic_volume((10, 10, 8), seed=2))
+        kw = dict(dim_in=3, n_levels=2, n_features_per_level=2, log2_hashmap_size=12,
+                  base_resolution=(4, 4, 4), finest_resolution=(10, 10, 8),
+                  dim_hidden=16, n_layers=2, decoder="relu_plain")
+        m_plain = make_hash_mlp(**kw)
+        m_tv = make_hash_mlp(temporal_tv=1.0, **kw)
+        cfg = TrainConfig(batch_size=400, epochs=15, lr=5e-3, seed=0)
+        r_plain = Trainer(cfg).fit(m_plain, ds.coords, ds.values)
+        r_tv = Trainer(cfg).fit(m_tv, ds.coords, ds.values)
+        enc = m_plain.hparams["encoder"]
+        tv_plain = float(temporal_table_tv(enc, r_plain.params["encoder"]["table"]))
+        tv_reg = float(temporal_table_tv(enc, r_tv.params["encoder"]["table"]))
+        assert tv_reg < tv_plain
+        assert np.isfinite(r_tv.losses).all()

@@ -145,3 +145,25 @@ class TestClassicalCli:
         classical.main([src, "--out", out, "--slice_z", "2"])
         img = nifti.load(out)
         assert img.shape == (10, 10, 6)
+
+
+class TestProfiling:
+    def test_capture_trace_writes_artifact(self, tmp_path):
+        import jax.numpy as jnp
+
+        from mri_interpolation_tpu.utils import capture_trace
+
+        out = capture_trace(lambda x: jnp.sum(x * 2), str(tmp_path / "trace"),
+                            jnp.ones((64, 64)), iters=2)
+        assert float(out) == 64 * 64 * 2
+        import os
+        files = [os.path.join(dp, f) for dp, _, fs in os.walk(tmp_path / "trace") for f in fs]
+        assert files, "no trace artifact written"
+
+    def test_time_fn_returns_positive_ms(self):
+        import jax.numpy as jnp
+
+        from mri_interpolation_tpu.utils import time_fn
+
+        ms = time_fn(lambda x: x @ x, jnp.ones((128, 128)), iters=3)
+        assert ms > 0
