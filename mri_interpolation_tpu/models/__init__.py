@@ -18,6 +18,7 @@ from .siren import (
     make_psf_siren,
     make_siren,
 )
+from .warp import make_warp_inr
 
 # name -> factory. Reference class names included for CLI compatibility.
 REGISTRY = {
@@ -44,6 +45,7 @@ REGISTRY = {
     "MultiSiren": make_multi_siren,
     "multi_hash_mlp": make_multi_hash_mlp,
     "MultiHashMLP": make_multi_hash_mlp,
+    "warp_inr": make_warp_inr,  # new capability: motion-compensated INR
 }
 
 
@@ -68,4 +70,5 @@ __all__ = [
     "make_freq_mlp",
     "make_multi_siren",
     "make_multi_hash_mlp",
+    "make_warp_inr",
 ]

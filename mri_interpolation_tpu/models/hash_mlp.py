@@ -43,7 +43,7 @@ def make_hash_mlp(
     n_layers: int = 2,
     activation: str = "gelu",
     dropout_rate: float = 0.0,
-    decoder: str = "norm",  # "norm": Linear->BN->act->Dropout | "relu_plain": tcnn-style
+    decoder: str = "norm",  # "norm" | "norm_proper" | "relu_plain"
     lr: float = 5e-3,
     growth: str = "reference",
     storage: str = "auto",
@@ -51,14 +51,28 @@ def make_hash_mlp(
     fused: str = "auto",  # "auto" | "on" | "off" | "interpret": Pallas kernels
     temporal_tv: float = 0.0,  # weight of the time-axis table smoothness prior
 ) -> Model:
-    """``fused``: on Mosaic-capable backends ("auto" detects them), the
-    encoder runs as the fused Pallas hash-encode kernel when its table fits
-    VMEM, and a ``decoder="relu_plain"`` stack runs as the fused MLP kernel
-    (the tcnn Encoding+FullyFusedMLP pair, reference models.py:615-639).
-    The XLA paths remain bit-equivalent fallbacks (tests/test_pallas.py)."""
+    """``decoder``:
+
+    - ``"norm"`` — the reference's exact stack: EVERY block, including the
+      final one mapping to dim_out, is Linear->BatchNorm->act->Dropout
+      (models.py:712-739). Normalizing/activating the OUTPUT costs several
+      dB at equal budget (measured — see RESULTS.md ablation);
+    - ``"norm_proper"`` — same but hidden blocks only; the final Linear is
+      plain (the evident intent of the reference quirk);
+    - ``"relu_plain"`` — tcnn FullyFusedMLP shape: plain ReLU between
+      layers, identity output (config/hash_config.json:23-27).
+
+    ``fused``: on Mosaic-capable backends ("auto" detects them), the encoder
+    runs as the fused Pallas hash-encode kernel when its table fits VMEM, and
+    a ``decoder="relu_plain"`` stack runs as the fused MLP kernel (the tcnn
+    Encoding+FullyFusedMLP pair, reference models.py:615-639). The XLA paths
+    remain bit-equivalent fallbacks (tests/test_pallas.py)."""
     from ..ops.pallas import fused_mlp_apply, pallas_hash_encode, resolve_fused, table_fits_vmem
 
-    act = _ACTS[activation] if decoder == "norm" else jax.nn.relu
+    if decoder not in ("norm", "norm_proper", "relu_plain"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    norm = decoder in ("norm", "norm_proper")
+    act = _ACTS[activation] if norm else jax.nn.relu
     encoder = HashGridEncoding(
         dim=dim_in,
         n_levels=n_levels,
@@ -77,18 +91,23 @@ def make_hash_mlp(
     interp = mode == "interpret"
     widths = [encoder.output_dim] + [dim_hidden] * (n_layers - 1) + [dim_out]
 
+    def _block_normed(i: int) -> bool:
+        # "norm": every block incl. the final dim_out one (reference quirk,
+        # models.py:712-739); "norm_proper": hidden blocks only.
+        return norm and (decoder == "norm" or i < n_layers - 1)
+
     def init(key):
         keys = jax.random.split(key, n_layers + 1)
         layers, bn_params, bn_state = [], [], []
         for i in range(n_layers):
             layers.append(dense_init(keys[i], widths[i], widths[i + 1]))
-            if decoder == "norm":
+            if _block_normed(i):
                 p, s = batchnorm_init(widths[i + 1])
                 bn_params.append(p)
                 bn_state.append(s)
         params = {"encoder": encoder.init(keys[-1]), "layers": layers}
         state = {}
-        if decoder == "norm":
+        if norm:
             params["bn"] = bn_params
             state = {"bn": bn_state}
         return params, state
@@ -106,16 +125,16 @@ def make_hash_mlp(
         rngs = jax.random.split(rng, n_layers) if (rng is not None and dropout_rate > 0) else [None] * n_layers
         for i in range(n_layers):
             z = dense(params["layers"][i], z)
-            if decoder == "norm":
+            if _block_normed(i):
                 z, s = batchnorm_apply(params["bn"][i], state["bn"][i], z, train=train)
                 new_bn.append(s)
                 z = act(z)
                 z = dropout(z, dropout_rate, train, rngs[i])
-            elif i < n_layers - 1:
+            elif not norm and i < n_layers - 1:
                 # tcnn FullyFusedMLP: ReLU between layers, identity output
                 # (config/hash_config.json:23-27).
                 z = act(z)
-        new_state = {"bn": new_bn} if decoder == "norm" else state
+        new_state = {"bn": new_bn} if norm else state
         return z, new_state
 
     loss_fn = None

@@ -1,0 +1,120 @@
+"""Motion-compensated INR: canonical content + learned temporal deformation.
+
+New capability beyond the reference (which fits intensity directly over
+(x, y, t) and therefore cannot beat data-space interpolation on held-out
+frames): dynamic MRI is mostly a STATIC anatomy under motion, so model
+
+    f(x, t) = g(x + d(x, t))
+
+with ``g`` a spatial hash-encoded INR of the canonical anatomy and ``d`` a
+small, temporally-smooth SIREN deformation field (D-NeRF-style decomposition,
+adapted to the reference's dynamic-ankle workload — the evaluation protocol is
+the reference's even-frame split, hash_experimentation.py:313-317).
+
+Held-out frames are reconstructed by *motion interpolation*: ``d`` is smooth
+in ``t`` by construction (low-frequency SIREN), so intermediate times warp the
+canonical image instead of cross-fading adjacent frames (the failure mode of
+both linear interpolation and direct INRs: ghosting at moving edges).
+
+The deformation head's last layer initializes to zero, so training starts from
+the identity warp (a plain spatial INR averaged over time) and discovers
+motion progressively.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..encodings.hashgrid import HashGridEncoding
+from .core import Model, dense, dense_init, uniform_init
+
+__all__ = ["make_warp_inr"]
+
+
+def _siren_field_init(key, dims, w0):
+    """SIREN init for the deformation field; final layer ZERO (identity warp)."""
+    keys = jax.random.split(key, len(dims) - 1)
+    layers = []
+    for i in range(len(dims) - 1):
+        last = i == len(dims) - 2
+        if last:
+            layers.append({"w": jnp.zeros((dims[i], dims[i + 1])),
+                           "b": jnp.zeros((dims[i + 1],))})
+        else:
+            bound = (1.0 / dims[i]) if i == 0 else (np.sqrt(6.0 / dims[i]) / w0)
+            kw, kb = jax.random.split(keys[i])
+            layers.append({"w": uniform_init(kw, (dims[i], dims[i + 1]), bound),
+                           "b": uniform_init(kb, (dims[i + 1],), bound)})
+    return layers
+
+
+def _siren_field_apply(layers, h, w0):
+    for i, l in enumerate(layers):
+        h = h @ l["w"] + l["b"]
+        if i < len(layers) - 1:
+            h = jnp.sin(w0 * h)
+    return h
+
+
+def make_warp_inr(
+    dim_in: int = 3,                 # (spatial..., t); time is the LAST axis
+    n_levels: int = 4,
+    n_features_per_level: int = 4,
+    log2_hashmap_size: int = 23,
+    base_resolution: Union[int, Sequence[int]] = (64, 64),
+    finest_resolution: Union[int, Sequence[int], None] = (352, 352),
+    growth: str = "paper",
+    dim_hidden: int = 64,
+    n_layers: int = 2,
+    dim_out: int = 1,
+    warp_hidden: int = 64,
+    warp_layers: int = 3,
+    warp_w0: float = 5.0,            # low frequency -> temporally smooth motion
+    warp_scale: float = 0.1,         # max displacement in normalized coords
+    lr: float = 1e-2,
+) -> Model:
+    s = dim_in - 1
+    if isinstance(base_resolution, (tuple, list)) and len(base_resolution) != s:
+        base_resolution = tuple(base_resolution)[:s]
+    if isinstance(finest_resolution, (tuple, list)) and len(finest_resolution) != s:
+        finest_resolution = tuple(finest_resolution)[:s]
+    encoder = HashGridEncoding(
+        dim=s,
+        n_levels=n_levels,
+        n_features_per_level=n_features_per_level,
+        log2_hashmap_size=log2_hashmap_size,
+        base_resolution=base_resolution,
+        finest_resolution=finest_resolution,
+        growth=growth,
+    )
+    widths = [encoder.output_dim] + [dim_hidden] * (n_layers - 1) + [dim_out]
+    warp_dims = [dim_in] + [warp_hidden] * (warp_layers - 1) + [s]
+
+    def init(key):
+        k_enc, k_dec, k_warp = jax.random.split(key, 3)
+        dkeys = jax.random.split(k_dec, n_layers)
+        return {
+            "encoder": encoder.init(k_enc),
+            "layers": [dense_init(dkeys[i], widths[i], widths[i + 1]) for i in range(n_layers)],
+            "warp": _siren_field_init(k_warp, warp_dims, warp_w0),
+        }, {}
+
+    def apply(params, state, x, train=False, rng=None):
+        xs = x[..., :s]
+        # SIREN operates on [-1, 1]; volume coords arrive in [0, 1]
+        d = _siren_field_apply(params["warp"], x * 2.0 - 1.0, warp_w0) * warp_scale
+        xw = jnp.clip(xs + d, 0.0, 1.0)
+        z = encoder.apply(params["encoder"], xw)
+        for i in range(n_layers):
+            z = dense(params["layers"][i], z)
+            if i < n_layers - 1:
+                z = jax.nn.relu(z)
+        return z, state
+
+    return Model(init=init, apply=apply, dim_in=dim_in, dim_out=dim_out, name="warp_inr",
+                 hparams={"lr": lr, "warp_scale": warp_scale, "warp_w0": warp_w0,
+                          "encoder": encoder})

@@ -348,3 +348,70 @@ class TestFusedWiring:
                     z = act(z)
             out = fused_mlp_apply(layers, x, act_name, tile=128, interpret=True)
             np.testing.assert_allclose(np.asarray(out), np.asarray(z), atol=1e-5)
+
+
+class TestNormProperDecoder:
+    def test_final_block_plain(self):
+        kw = dict(dim_in=3, n_levels=2, n_features_per_level=2, log2_hashmap_size=10,
+                  base_resolution=(4, 4, 2), finest_resolution=(12, 12, 6),
+                  dim_hidden=16, n_layers=3)
+        m = make_hash_mlp(decoder="norm_proper", **kw)
+        params, state = m.init(KEY)
+        assert len(params["bn"]) == 2          # hidden blocks only
+        m_ref = make_hash_mlp(decoder="norm", **kw)
+        p_ref, _ = m_ref.init(KEY)
+        assert len(p_ref["bn"]) == 3           # reference quirk: final block too
+        x = jax.random.uniform(jax.random.key(7), (100, 3))
+        y, new_state = m.apply(params, state, x, train=True, rng=None)
+        # unnormalized final linear: output not forced through GELU
+        assert np.asarray(y).min() < 0 or np.asarray(y).max() > 0
+        assert len(new_state["bn"]) == 2
+
+    def test_unknown_decoder_raises(self):
+        with pytest.raises(ValueError, match="decoder"):
+            make_hash_mlp(dim_in=3, decoder="bogus")
+
+
+class TestWarpInr:
+    def test_identity_warp_at_init(self):
+        from mri_interpolation_tpu.models import make_warp_inr
+
+        m = make_warp_inr(dim_in=3, n_levels=2, log2_hashmap_size=10,
+                          base_resolution=(4, 4), finest_resolution=(16, 16),
+                          dim_hidden=16, n_layers=2, warp_hidden=16, warp_layers=2)
+        params, state = m.init(KEY)
+        # zero-initialized deformation head: warp layer last weights are zero
+        assert np.abs(np.asarray(params["warp"][-1]["w"])).max() == 0
+        x = jax.random.uniform(jax.random.key(5), (50, 3))
+        y, _ = m.apply(params, state, x)
+        # at init the output must be time-invariant (identity warp)
+        x_t2 = x.at[:, -1].set(x[:, -1] * 0.0 + 0.9)
+        x_t1 = x.at[:, -1].set(x[:, -1] * 0.0 + 0.1)
+        y1, _ = m.apply(params, state, x_t1)
+        y2, _ = m.apply(params, state, x_t2)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+
+    def test_fits_translating_blob(self):
+        """A moving gaussian blob: the warp model must fit it and interpolate
+        an intermediate frame better than frame cross-fading would."""
+        from mri_interpolation_tpu.io.volume import flat_coords
+        from mri_interpolation_tpu.models import make_warp_inr
+        from mri_interpolation_tpu.train import TrainConfig, Trainer
+
+        n, T = 24, 5
+        xs = np.linspace(0, 1, n, dtype=np.float32)
+        X, Y = np.meshgrid(xs, xs, indexing="ij")
+        def frame(cx):
+            return np.exp(-(((X - cx) ** 2 + (Y - 0.5) ** 2) / 0.02)).astype(np.float32)
+        centers = np.linspace(0.3, 0.7, T)
+        vol = np.stack([frame(c) for c in centers], axis=-1)  # (n, n, T)
+        coords = flat_coords(vol.shape)
+        values = vol.reshape(-1, 1)
+        m = make_warp_inr(dim_in=3, n_levels=2, log2_hashmap_size=12,
+                          base_resolution=(6, 6), finest_resolution=(24, 24),
+                          dim_hidden=16, n_layers=2, warp_hidden=32, warp_layers=3,
+                          warp_scale=0.3)
+        cfg = TrainConfig(batch_size=1024, epochs=60, lr=5e-3, optimizer="adam_tcnn",
+                          lr_schedule="cosine", cosine_t_max=60, seed=0)
+        res = Trainer(cfg).fit(m, coords, values)
+        assert res.losses[-1] < res.losses[0] * 0.1
