@@ -53,7 +53,9 @@ def ssim(
     """Mean structural similarity over an n-D image (skimage-default flavor).
 
     Uses the uniform filter with skimage's sample-covariance normalization
-    (cov_norm = NP/(NP-1)).
+    (cov_norm = NP/(NP-1)). Computed in float32 (JAX x64 is off on TPU), so a
+    near-exact reconstruction can read marginally above 1.0 (variance
+    cancellation error ~1e-4); skimage avoids this only by running in f64.
     """
     if any(s < win_size for s in pred.shape):
         raise ValueError(f"image shape {pred.shape} smaller than win_size {win_size}")

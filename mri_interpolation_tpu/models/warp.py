@@ -74,7 +74,7 @@ def make_warp_inr(
     warp_hidden: int = 64,
     warp_layers: int = 3,
     warp_w0: float = 5.0,            # low frequency -> temporally smooth motion
-    warp_scale: float = 0.1,         # max displacement in normalized coords
+    warp_scale: float = 0.05,        # max displacement in normalized coords (measured best)
     lr: float = 1e-2,
 ) -> Model:
     s = dim_in - 1
