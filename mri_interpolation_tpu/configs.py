@@ -52,6 +52,7 @@ class RunConfig:
     loss: str = "mse"
     optimizer: str = "adam"
     lr_schedule: Optional[str] = None
+    cosine_t_max: int = 10
     data_parallel: bool = False          # shard batches over all devices
 
     # --- model (L3)
@@ -77,6 +78,9 @@ class RunConfig:
     finest_resolution: Union[int, Tuple[int, ...], None] = (352, 352, 15)
     per_level_scale: Optional[float] = None
     dropout: float = 0.0
+    decoder: str = "norm"                # "norm" | "norm_proper" | "relu_plain"
+    growth: str = "reference"            # "reference" | "paper" growth formula
+    temporal_tv: float = 0.0             # time-axis table smoothness prior
 
     # --- inference / output (L0/L6)
     interp_shapes: Tuple[Tuple[int, ...], ...] = ((352, 352, 30),)  # (config/base.py:62)
@@ -111,6 +115,9 @@ class RunConfig:
             "skip_connections": self.skip_connections,
             "encoder_type": self.encoder_type,
             "weight_decay": self.weight_decay,
+            "decoder": self.decoder,
+            "growth": self.growth,
+            "temporal_tv": self.temporal_tv,
         }
 
 

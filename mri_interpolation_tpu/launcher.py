@@ -145,6 +145,7 @@ def run(cfg: RunConfig, run_dir: Optional[str] = None) -> dict:
         seed=cfg.seed,
         optimizer=cfg.optimizer,
         lr_schedule=cfg.lr_schedule,
+        cosine_t_max=cfg.cosine_t_max,
         accumulate_grad_batches=cfg.accumulate_grad_batches,
         loss=cfg.loss,
         # live train_loss stream + per-epoch checkpoints (Lightning parity)
