@@ -311,15 +311,26 @@ def write_results_md(out: dict) -> None:
         "",
         "Launcher CLI end-to-end on the complete (352,352,6,15) volume (11.2M",
         "voxels, hash resolutions auto-derived from the volume shape, batch 50000,",
-        "20 epochs): **PSNR 30.92 dB**, with the 2x temporal super-resolution grid",
-        "`interpolation(352,352,6,30).nii.gz` produced by the same run (measured",
-        "round 1; reproduce with the command below).",
+        "30 epochs, round-2 recipe): **PSNR 68.36 dB** (round-1 recipe: 30.92 dB),",
+        "with the 2x temporal super-resolution grid",
+        "`interpolation(352,352,6,30).nii.gz` produced by the same run.",
         "",
         "```",
         "python -m mri_interpolation_tpu.launcher \\",
         "    --image_path sample_ankle_dyn_mri.nii.gz \\",
-        "    --model_class hash_mlp --epochs 20 --batch_size 50000 --n_features_per_level 2",
+        "    --model_class hash_mlp --epochs 30 --batch_size 50000 \\",
+        "    --n_levels 5 --n_features_per_level 4 --growth paper --decoder relu_plain \\",
+        "    --optimizer adam_tcnn --lr 1e-2 --lr_schedule cosine --cosine_t_max 30",
         "```",
+        "",
+        "4D even-frame protocol (train data[..., ::2], evaluate held-out odd",
+        "frames; 30 epochs, batch 50000):",
+        "",
+        "| method | held-out odd-frame PSNR |",
+        "|---|---|",
+        "| classical linear interpolation | 24.63 |",
+        "| hash_mlp (t-res capped) | 24.96 |",
+        "| warp_inr (motion-compensated, 3D canonical + temporal warp) | **25.68** |",
         "",
         "Profiler traces for the flagship and TPU-native NGP configs are written to",
         "`runs/traces/` by this script (`utils.capture_trace`).",
