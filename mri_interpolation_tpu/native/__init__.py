@@ -16,7 +16,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-__all__ = ["available", "build", "load_volume_native", "make_coords_native"]
+__all__ = ["available", "build", "load_volume_native", "save_volume_native", "make_coords_native"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "libmit_native.so")
@@ -53,6 +53,14 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.mit_nifti_decode.restype = ctypes.c_int
     lib.mit_nifti_decode.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.c_float)]
+    lib.mit_nifti_encode.restype = ctypes.c_int
+    lib.mit_nifti_encode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+    ]
     lib.mit_minmax_normalize.restype = None
     lib.mit_minmax_normalize.argtypes = [ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int]
     lib.mit_make_coords.restype = None
@@ -94,6 +102,23 @@ def load_volume_native(path: str, zero_centered: bool = False) -> Tuple[np.ndarr
     shp = tuple(int(shape[i]) for i in range(ndim.value))
     pd = tuple(float(pixdim[i]) for i in range(ndim.value))
     return out.reshape(shp), shp, pd
+
+
+def save_volume_native(path: str, data: np.ndarray, pixdim: Optional[Tuple[float, ...]] = None) -> None:
+    """Encode a C-ordered array as gzipped float32 NIfTI-1 (the write half of
+    the native IO runtime; identity orientation, vox_offset 352)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library not built; run mri_interpolation_tpu.native.build()")
+    arr = np.ascontiguousarray(data, dtype=np.float32)
+    d = arr.ndim
+    shape = (ctypes.c_int64 * d)(*arr.shape)
+    pd_vals = tuple(pixdim) if pixdim else tuple(1.0 for _ in range(d))
+    pd = (ctypes.c_float * d)(*(list(pd_vals) + [1.0] * d)[:d])
+    rc = lib.mit_nifti_encode(path.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                              shape, d, pd)
+    if rc != 0:
+        raise ValueError(f"native encode failed (code {rc}) for {path}")
 
 
 def make_coords_native(shape, lo: float = 0.0, hi: float = 1.0) -> np.ndarray:

@@ -12,11 +12,14 @@
 //   mit_nifti_probe(path, shape[8], &ndim, pixdim[8], &err) -> n_voxels or -1
 //   mit_nifti_decode(path, out[n_voxels]) -> 0/err      (scl_slope applied,
 //                                                        Fortran->C reorder)
+//   mit_nifti_encode(path, data, shape, ndim, pixdim)   (float32 gzip write,
+//                                                        C->Fortran reorder)
 //   mit_minmax_normalize(data, n, zero_centered)
 //   mit_make_coords(shape, ndim, lo, hi, out[n*ndim])   (C-order flat mgrid)
 //
 // Build: g++ -O3 -march=native -shared -fPIC nifti_codec.cc -o libmit_native.so -lz
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -175,6 +178,76 @@ int mit_nifti_decode(const char* path, float* out) {
       return 5;
   }
   return 0;
+}
+
+// Encode a C-ordered float32 array as gzipped NIfTI-1 (datatype 16,
+// vox_offset 352, identity orientation). Returns 0 on success.
+int mit_nifti_encode(const char* path, const float* data, const int64_t* shape,
+                     int ndim, const float* pixdim) {
+  if (ndim < 1 || ndim > 7) return 1;
+  NiftiHeader h;
+  h.ndim = ndim;
+  for (int i = 0; i < 8; ++i) h.shape[i] = (i < ndim) ? shape[i] : 1;
+  int64_t n = checked_voxel_count(h);
+  if (n < 0) return 1;
+
+  unsigned char hdr[352];
+  std::memset(hdr, 0, sizeof(hdr));
+  int32_t sizeof_hdr = 348;
+  std::memcpy(hdr, &sizeof_hdr, 4);
+  int16_t dim[8] = {static_cast<int16_t>(ndim), 1, 1, 1, 1, 1, 1, 1};
+  for (int i = 0; i < ndim; ++i) dim[i + 1] = static_cast<int16_t>(shape[i]);
+  std::memcpy(hdr + 40, dim, 16);
+  int16_t datatype = 16, bitpix = 32;  // float32
+  std::memcpy(hdr + 70, &datatype, 2);
+  std::memcpy(hdr + 72, &bitpix, 2);
+  float pd[8] = {1, 1, 1, 1, 1, 1, 1, 1};
+  if (pixdim) for (int i = 0; i < ndim && i < 7; ++i) pd[i + 1] = pixdim[i];
+  std::memcpy(hdr + 76, pd, 32);
+  float vox_offset = 352.0f;
+  std::memcpy(hdr + 108, &vox_offset, 4);
+  float slope = 1.0f, inter = 0.0f;
+  std::memcpy(hdr + 112, &slope, 4);
+  std::memcpy(hdr + 116, &inter, 4);
+  // identity sform (sform_code=1 at offset 254; srow diagonals = pixdim)
+  int16_t sform_code = 1;
+  std::memcpy(hdr + 254, &sform_code, 2);
+  float srow[12] = {pd[1], 0, 0, 0, 0, pd[2], 0, 0, 0, 0, pd[3], 0};
+  std::memcpy(hdr + 280, srow, 48);
+  std::memcpy(hdr + 344, "n+1\0", 4);
+
+  // C order -> Fortran order
+  std::vector<float> fdata(static_cast<size_t>(n));
+  std::vector<int64_t> fstride(ndim);
+  int64_t s = 1;
+  for (int i = 0; i < ndim; ++i) { fstride[i] = s; s *= shape[i]; }
+  std::vector<int64_t> idx(ndim, 0);
+  int64_t fidx = 0;
+  for (int64_t c = 0; c < n; ++c) {
+    fdata[fidx] = data[c];
+    for (int a = ndim - 1; a >= 0; --a) {
+      idx[a]++;
+      fidx += fstride[a];
+      if (idx[a] < shape[a]) break;
+      fidx -= shape[a] * fstride[a];
+      idx[a] = 0;
+    }
+  }
+
+  gzFile f = gzopen(path, "wb");
+  if (!f) return 2;
+  bool ok = gzwrite(f, hdr, 352) == 352;
+  const size_t total_bytes = static_cast<size_t>(n) * 4;
+  const unsigned char* p = reinterpret_cast<const unsigned char*>(fdata.data());
+  size_t written = 0;
+  while (ok && written < total_bytes) {
+    unsigned chunk = static_cast<unsigned>(
+        std::min<size_t>(total_bytes - written, 1u << 28));
+    ok = gzwrite(f, p + written, chunk) == static_cast<int>(chunk);
+    written += chunk;
+  }
+  gzclose(f);
+  return ok ? 0 : 3;
 }
 
 void mit_minmax_normalize(float* data, int64_t n, int zero_centered) {

@@ -75,3 +75,34 @@ class TestLoadVolumeIntegration:
         np.testing.assert_allclose(ds_native.values, ds_numpy.values, atol=1e-6)
         np.testing.assert_allclose(ds_native.coords, ds_numpy.coords, atol=1e-6)
         assert ds_native.shape == ds_numpy.shape
+
+
+class TestNativeEncode:
+    def test_roundtrip_native_to_numpy(self, tmp_path, rng):
+        data = rng.standard_normal((6, 5, 4)).astype(np.float32)
+        path = str(tmp_path / "enc.nii.gz")
+        native.save_volume_native(path, data, pixdim=(0.5, 0.5, 2.0))
+        img = nifti.load(path)
+        np.testing.assert_allclose(np.asarray(img.get_fdata(np.float32)), data, atol=0)
+        assert img.shape == (6, 5, 4)
+        np.testing.assert_allclose(img.pixdim[:3], (0.5, 0.5, 2.0), rtol=1e-6)
+
+    def test_roundtrip_native_to_native(self, tmp_path, rng):
+        data = rng.random((4, 4, 3, 5)).astype(np.float32)
+        path = str(tmp_path / "enc4d.nii.gz")
+        native.save_volume_native(path, data)
+        out, shape, _ = native.load_volume_native(path)
+        assert shape == (4, 4, 3, 5)
+        # native loader min-max normalizes; compare against normalized input
+        ref = volume.normalize_intensity(data)
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    def test_numpy_saver_reads_native_file(self, tmp_path, rng):
+        # cross-check against the NumPy encoder's output layout
+        data = rng.random((3, 7, 2)).astype(np.float32)
+        p1, p2 = str(tmp_path / "a.nii.gz"), str(tmp_path / "b.nii.gz")
+        native.save_volume_native(p1, data)
+        nifti.save(data, p2)
+        a = nifti.load(p1).get_fdata(np.float32)
+        b = nifti.load(p2).get_fdata(np.float32)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
