@@ -75,8 +75,14 @@ def make_warp_inr(
     warp_layers: int = 3,
     warp_w0: float = 5.0,            # low frequency -> temporally smooth motion
     warp_scale: float = 0.05,        # max displacement in normalized coords (measured best)
+    residual_scale: float = 0.0,     # >0: small additive appearance term r(x,t)
     lr: float = 1e-2,
 ) -> Model:
+    """``residual_scale``: motion alone cannot express appearance changes
+    (contrast drift, through-plane content); a small zero-initialized SIREN
+    residual ``f = g(x + d) + residual_scale * r(x, t)`` absorbs them. Keep it
+    small — a large residual re-introduces the direct-INR failure mode
+    (temporal memorization that generalizes no better than cross-fading)."""
     s = dim_in - 1
     if isinstance(base_resolution, (tuple, list)) and len(base_resolution) != s:
         base_resolution = tuple(base_resolution)[:s]
@@ -93,15 +99,19 @@ def make_warp_inr(
     )
     widths = [encoder.output_dim] + [dim_hidden] * (n_layers - 1) + [dim_out]
     warp_dims = [dim_in] + [warp_hidden] * (warp_layers - 1) + [s]
+    res_dims = [dim_in] + [warp_hidden] * (warp_layers - 1) + [dim_out]
 
     def init(key):
-        k_enc, k_dec, k_warp = jax.random.split(key, 3)
+        k_enc, k_dec, k_warp, k_res = jax.random.split(key, 4)
         dkeys = jax.random.split(k_dec, n_layers)
-        return {
+        params = {
             "encoder": encoder.init(k_enc),
             "layers": [dense_init(dkeys[i], widths[i], widths[i + 1]) for i in range(n_layers)],
             "warp": _siren_field_init(k_warp, warp_dims, warp_w0),
-        }, {}
+        }
+        if residual_scale > 0.0:
+            params["residual"] = _siren_field_init(k_res, res_dims, warp_w0)
+        return params, {}
 
     def apply(params, state, x, train=False, rng=None):
         xs = x[..., :s]
@@ -113,6 +123,8 @@ def make_warp_inr(
             z = dense(params["layers"][i], z)
             if i < n_layers - 1:
                 z = jax.nn.relu(z)
+        if residual_scale > 0.0:
+            z = z + residual_scale * _siren_field_apply(params["residual"], x * 2.0 - 1.0, warp_w0)
         return z, state
 
     return Model(init=init, apply=apply, dim_in=dim_in, dim_out=dim_out, name="warp_inr",
