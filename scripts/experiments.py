@@ -148,7 +148,7 @@ def main():
     # growth), batch-scaling gathered path for big levels, tcnn-Adam + cosine.
     # Replaces the hashed tcnn config's 50.97 dB @ 19 steps/s with far higher
     # quality at 3.2x the step rate (see the "scatter wall" notes below).
-    for F in (8, 4):
+    for F in (8, 4, 2):
         rows.append(fit_and_eval(
             f"hash_mlp (TPU-native NGP: 3L F{F} paper+cosine)",
             make_hash_mlp(dim_in=3, n_levels=3, n_features_per_level=F, log2_hashmap_size=23,
@@ -293,7 +293,8 @@ def write_results_md(out: dict) -> None:
         "  needs 8-11x fewer scatter-ids; big dense levels use the batch-scaling",
         "  gathered path (cost ~ batch) instead of the cell-view path (cost ~ grid",
         "  size), with a measured crossover at ~2^18 cells. The F4 variant runs at",
-        "  92.9 steps/s — 5.0x the literal tcnn row's step rate at +20 dB quality;",
+        "  92.9 steps/s and the F2 variant 70.2 dB at 121 steps/s — 5-6.5x the literal",
+        "  tcnn row (18.7 steps/s) at +19-20 dB quality;",
         "  the F8 variant reaches 81 dB at 100 epochs (cosine decay).",
         "- **Decoder ablation** (the three 'dense F=4' rows, equal budget): the",
         "  reference's 'norm' decoder BatchNorms + GELUs the OUTPUT block too",
