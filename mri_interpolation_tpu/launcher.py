@@ -124,6 +124,13 @@ def run(cfg: RunConfig, run_dir: Optional[str] = None) -> dict:
         if isinstance(base, (tuple, list)) and len(base) != dim_in:
             cfg.finest_resolution = tuple(int(s) for s in ds.shape)
             cfg.base_resolution = tuple(max(2, round(s / 5.5)) for s in ds.shape)
+    elif cfg.model_class == "warp_inr":
+        # warp model encodes SPATIAL coords only (time drives the deformation)
+        base = cfg.base_resolution
+        spatial = ds.shape[:-1]
+        if isinstance(base, (tuple, list)) and len(base) != len(spatial):
+            cfg.finest_resolution = tuple(int(s) for s in spatial)
+            cfg.base_resolution = tuple(max(2, round(s / 5.5)) for s in spatial)
 
     # PSF spacing: half-voxel extents in normalized coordinates.
     spacing = tuple(0.5 / max(s - 1, 1) for s in ds.shape[:3])

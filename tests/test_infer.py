@@ -106,3 +106,34 @@ class TestEvalCacheBound:
         b = g.evaluate_grid(model, params, state, (4, 4), chunk_size=8)
         assert len(g._EVAL_CACHE) == 1
         np.testing.assert_array_equal(a, b)
+
+
+class TestServingExport:
+    def test_export_roundtrip_matches_evaluate_grid(self, tmp_path):
+        from mri_interpolation_tpu.infer import evaluate_grid, load_evaluator, save_evaluator
+        from mri_interpolation_tpu.models import make_hash_mlp
+
+        model = make_hash_mlp(dim_in=3, n_levels=2, n_features_per_level=2,
+                              log2_hashmap_size=10, base_resolution=(4, 4, 2),
+                              finest_resolution=(12, 12, 6), dim_hidden=16, n_layers=2,
+                              decoder="relu_plain")
+        params, state = model.init(jax.random.key(0))
+        shape = (10, 11, 12)
+        ref = evaluate_grid(model, params, state, shape, chunk_size=1 << 15)
+        path = save_evaluator(str(tmp_path / "eval.bin"), model, params, state, shape)
+        vol = load_evaluator(path)()
+        assert vol.shape == shape
+        np.testing.assert_allclose(vol, ref, atol=1e-6)
+
+    def test_exported_artifact_is_self_contained(self, tmp_path):
+        """The artifact must execute without the model object (params baked)."""
+        from mri_interpolation_tpu.infer import load_evaluator, save_evaluator
+        from mri_interpolation_tpu.models import make_siren
+
+        model = make_siren(dim_in=2, dim_hidden=8, n_layers=2)
+        params, state = model.init(jax.random.key(1))
+        path = save_evaluator(str(tmp_path / "s.bin"), model, params, state, (6, 7))
+        del model, params, state
+        vol = load_evaluator(path)()
+        assert vol.shape == (6, 7)
+        assert np.isfinite(vol).all()

@@ -219,3 +219,31 @@ class TestFiguresCli:
         assert "grid:" in outp and "gif:" in outp
         assert (run_dir / "frames_grid.png").exists()
         assert (run_dir / "frames.gif").exists()
+
+
+class TestWarpLauncher:
+    def test_warp_even_frames_pipeline(self, tmp_path):
+        """warp_inr through the full CLI pipeline with the even-frame
+        protocol on a synthetic 3D volume (rank-adapted spatial resolutions)."""
+        from mri_interpolation_tpu.io import nifti, synthetic_volume
+
+        vol = synthetic_volume((14, 14, 8), seed=4)
+        path = str(tmp_path / "v.nii.gz")
+        nifti.save(vol, path)
+        cfg = configs.default_hash_config()
+        cfg.image_path = path
+        cfg.model_class = "warp_inr"
+        cfg.even_frames_only = True
+        cfg.epochs = 3
+        cfg.batch_size = 500
+        cfg.n_levels = 2
+        cfg.log2_hashmap_size = 10
+        cfg.output_root = str(tmp_path / "runs")
+        cfg.interp_shapes = ((14, 14, 16),)
+        from mri_interpolation_tpu.launcher import run
+
+        summary = run(cfg)
+        assert "odd_psnr" in summary
+        assert np.isfinite(summary["final_loss"])
+        import os
+        assert os.path.exists(os.path.join(summary["run_dir"], "pred.nii.gz"))
