@@ -267,3 +267,37 @@ class TestCellViewSplit:
         g1 = jax.grad(lambda p: jnp.mean((enc_view.apply(p, x) - y) ** 2))(params)["table"]
         g2 = jax.grad(lambda p: jnp.mean((enc_split.apply(p, x) - y) ** 2))(params)["table"]
         np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-6)
+
+
+class TestPacked4D:
+    def test_4d_mixed_levels_grads_and_values(self):
+        """4D (C=16) packed path: values and grads match an all-cell-view
+        reference encoder."""
+        kw = dict(dim=4, n_levels=3, n_features_per_level=2, log2_hashmap_size=18,
+                  base_resolution=(4, 4, 2, 2), finest_resolution=(14, 14, 5, 6),
+                  growth="paper")
+        enc_ref = HashGridEncoding(cell_view_max_cells=1 << 30, **kw)
+        enc_split = HashGridEncoding(cell_view_max_cells=200, **kw)
+        assert not enc_split.level_cellview.all()
+        params = enc_ref.init(jax.random.key(0))
+        x = jax.random.uniform(jax.random.key(1), (300, 4))
+        np.testing.assert_allclose(np.asarray(enc_split.apply(params, x)),
+                                   np.asarray(enc_ref.apply(params, x)), atol=1e-6)
+        y = jax.random.normal(jax.random.key(2), (300, enc_ref.output_dim))
+        g1 = jax.grad(lambda p: jnp.mean((enc_ref.apply(p, x) - y) ** 2))(params)["table"]
+        g2 = jax.grad(lambda p: jnp.mean((enc_split.apply(p, x) - y) ** 2))(params)["table"]
+        np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-6)
+
+    def test_4d_hashed_packed_matches_reference_storage(self):
+        enc = HashGridEncoding(dim=4, n_levels=2, n_features_per_level=1,
+                               log2_hashmap_size=8, base_resolution=4,
+                               finest_resolution=16, storage="hashed")
+        params = enc.init(jax.random.key(3))
+        x = jax.random.uniform(jax.random.key(4), (200, 4))
+        out = enc.apply(params, x)
+        assert out.shape == (200, 2)
+        # independent check of one (voxel, level, corner) contribution
+        ids, w = enc.corner_ids_and_weights(x)
+        table = np.asarray(params["table"])
+        manual = (table[np.asarray(ids[0, 0])][:, 0] * np.asarray(w[0, 0])).sum()
+        np.testing.assert_allclose(float(out[0, 0]), manual, rtol=1e-5)
