@@ -19,7 +19,7 @@ import argparse
 import dataclasses
 import json
 from dataclasses import dataclass, field, fields
-from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, Optional, Tuple, Union
 
 __all__ = [
     "RunConfig",

@@ -8,8 +8,6 @@ run's config, per-frame PNGs, and an animated GIF (figure_script.py:10-72).
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from .configs import parse_config_txt

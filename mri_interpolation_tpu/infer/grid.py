@@ -14,7 +14,7 @@ and the chunk axis is what the parallel layer shards across devices.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

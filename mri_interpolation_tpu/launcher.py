@@ -24,7 +24,7 @@ import inspect
 import json
 import os
 import time
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

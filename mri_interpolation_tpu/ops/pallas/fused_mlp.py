@@ -32,7 +32,7 @@ and run. The XLA paths remain the default production path.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -43,8 +43,6 @@ the kernel body documents the target design.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np

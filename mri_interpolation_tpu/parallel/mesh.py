@@ -9,7 +9,7 @@ ride ICI through ``psum`` inside ``shard_map``. DCN is out of scope
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
