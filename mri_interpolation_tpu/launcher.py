@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     # flags for every scalar config field.
     parser.add_argument("--enco_config_path", type=str, default=None,
                         help="path to a tcnn-style JSON encoding config")
+    parser.add_argument("--config_yaml", type=str, default=None,
+                        help="path to a hydra-style YAML run config (reference config/base.yaml schema)")
     parser.add_argument("--config_preset", type=str, default="hash",
                         choices=["hash", "siren"], help="base config preset")
     configs.add_config_flags(parser, RunConfig())
@@ -240,6 +242,8 @@ def main(argv=None):
     parser = build_parser()
     args = parser.parse_args(argv)
     cfg = configs.default_siren_config() if args.config_preset == "siren" else configs.default_hash_config()
+    if args.config_yaml:
+        cfg = configs.load_yaml_config(args.config_yaml, base=cfg)
     if args.enco_config_path:
         cfg = configs.apply_enco_config(cfg, configs.load_json_config(args.enco_config_path))
     cfg = configs.override_from_args(cfg, args)

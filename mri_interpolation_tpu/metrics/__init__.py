@@ -53,9 +53,13 @@ def ssim(
     """Mean structural similarity over an n-D image (skimage-default flavor).
 
     Uses the uniform filter with skimage's sample-covariance normalization
-    (cov_norm = NP/(NP-1)). Computed in float32 (JAX x64 is off on TPU), so a
-    near-exact reconstruction can read marginally above 1.0 (variance
-    cancellation error ~1e-4); skimage avoids this only by running in f64.
+    (cov_norm = NP/(NP-1)). Computed in float32 (JAX x64 is off on TPU);
+    second moments are taken on globally mean-shifted images — variance and
+    covariance are shift-invariant, and shifting removes the O(mean^2)
+    catastrophic cancellation in ``E[x^2] - E[x]^2`` that otherwise lets a
+    near-exact reconstruction read above 1.0 in f32 (skimage sidesteps this
+    only by running in f64). The luminance term uses the raw (unshifted)
+    window means, so the result is mathematically identical to skimage's.
     """
     if any(s < win_size for s in pred.shape):
         raise ValueError(f"image shape {pred.shape} smaller than win_size {win_size}")
@@ -66,12 +70,19 @@ def ssim(
 
     ux = _uniform_filter(x, win_size)
     uy = _uniform_filter(y, win_size)
-    uxx = _uniform_filter(x * x, win_size)
-    uyy = _uniform_filter(y * y, win_size)
-    uxy = _uniform_filter(x * y, win_size)
-    vx = cov_norm * (uxx - ux * ux)
-    vy = cov_norm * (uyy - uy * uy)
-    vxy = cov_norm * (uxy - ux * uy)
+    # shift-invariant second moments on conditioned values
+    mx = jnp.mean(x)
+    my = jnp.mean(y)
+    xc = x - mx
+    yc = y - my
+    uxc = ux - mx
+    uyc = uy - my
+    uxx = _uniform_filter(xc * xc, win_size)
+    uyy = _uniform_filter(yc * yc, win_size)
+    uxy = _uniform_filter(xc * yc, win_size)
+    vx = cov_norm * (uxx - uxc * uxc)
+    vy = cov_norm * (uyy - uyc * uyc)
+    vxy = cov_norm * (uxy - uxc * uyc)
 
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2
