@@ -71,6 +71,31 @@ def main():
         jax.numpy.asarray(recon), jax.numpy.asarray(ds.image()), data_range=1.0
     )
 
+    # secondary row: the TPU-native Instant-NGP-class quality config (full-res
+    # dense levels + batch-scaling gathered path; RESULTS.md) — the
+    # high-quality regime the literal tcnn config (hashed, scatter-bound)
+    # cannot reach on this chip.
+    ngp = make_hash_mlp(
+        dim_in=3,
+        n_levels=3,
+        n_features_per_level=2,
+        log2_hashmap_size=23,
+        base_resolution=(64, 64, 5),
+        finest_resolution=(352, 352, 15),
+        growth="paper",
+        dim_hidden=64,
+        n_layers=2,
+        decoder="relu_plain",
+    )
+    ngp_epochs = 30
+    ngp_cfg = TrainConfig(batch_size=batch, epochs=ngp_epochs, lr=1e-2, seed=1337,
+                          optimizer="adam_tcnn", lr_schedule="cosine", cosine_t_max=ngp_epochs)
+    ngp_result = Trainer(ngp_cfg).fit(ngp, ds.coords, ds.values)
+    ngp_recon = evaluate_grid(ngp, ngp_result.params, ngp_result.state, ds.shape)
+    ngp_quality = evaluate_reconstruction(
+        jax.numpy.asarray(ngp_recon), jax.numpy.asarray(ds.image()), data_range=1.0
+    )
+
     print(
         json.dumps(
             {
@@ -83,6 +108,9 @@ def main():
                 "recon_ssim": round(quality.get("ssim", float("nan")), 4),
                 "grid_eval_voxels_per_sec": round(float(grid_vox_per_sec), 1),
                 "train_wall_s": round(result.wall_time_s, 2),
+                "ngp_steps_per_sec": round(float(ngp_result.steady_steps_per_sec), 1),
+                "ngp_psnr_db": round(ngp_quality["psnr"], 2),
+                "ngp_epochs": ngp_epochs,
                 "device": str(jax.devices()[0]),
             }
         )

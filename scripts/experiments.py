@@ -279,29 +279,53 @@ def write_results_md(out: dict) -> None:
     ]
     for p in protocol:
         lines.append(f"| {p['name']} | {p['odd_psnr']} | {p['odd_ssim']} |")
+    def _row(frag):
+        for r in rows:
+            if frag in r["name"]:
+                return r
+        return None
+
+    tcnn = _row("tcnn config")
+    f2 = _row("NGP: 3L F2")
+    f4 = _row("NGP: 3L F4")
+    ngp_speedup = ""
+    if tcnn and f2 and f4:
+        ngp_speedup = (
+            f"  The F4 variant runs at {f4['steady_steps_per_sec']} steps/s and the F2 variant\n"
+            f"  {f2['psnr']} dB at {f2['steady_steps_per_sec']} steps/s — "
+            f"{f4['steady_steps_per_sec'] / tcnn['steady_steps_per_sec']:.1f}-"
+            f"{f2['steady_steps_per_sec'] / tcnn['steady_steps_per_sec']:.1f}x the literal\n"
+            f"  tcnn row ({tcnn['steady_steps_per_sec']} steps/s) at "
+            f"+{f2['psnr'] - tcnn['psnr']:.0f}-{f4['psnr'] - tcnn['psnr']:.0f} dB quality;"
+        )
     lines += [
         "",
         "Notes:",
         "",
-        "- **The TPU scatter wall and the NGP-class row.** XLA random scatter-add",
-        "  on this chip costs ~50 ns/id regardless of packing/sorting/dtype (gather:",
-        "  ~7 ns/id), which caps the literal tcnn config (11 hashed levels x 8",
-        "  corners x batch = 880K scatter-ids/step) at ~20-25 steps/s no matter how",
-        "  the backward is structured. The TPU-native NGP row reaches the same",
-        "  quality class by keeping full-resolution levels DENSE (collision-free",
-        "  direct indexing fits the 2^23 budget on this workload) so the backward",
-        "  needs 8-11x fewer scatter-ids; big dense levels use the batch-scaling",
-        "  gathered path (cost ~ batch) instead of the cell-view path (cost ~ grid",
-        "  size), with a measured crossover at ~2^18 cells. The F4 variant runs at",
-        "  92.9 steps/s and the F2 variant 70.2 dB at 121 steps/s — 5-6.5x the literal",
-        "  tcnn row (18.7 steps/s) at +19-20 dB quality;",
+        "- **The TPU scatter wall and the NGP-class row.** XLA scatter-add on this",
+        "  chip costs ~50-85 ns per scattered ELEMENT, with a ~2.7x cliff once the",
+        "  destination table exceeds ~2^18 rows (gather: ~7-13 ns/id); sorting the",
+        "  ids, `indices_are_sorted` hints, wide-row scatters and segment_sum",
+        "  restructurings do not beat it (re-measured). That caps the literal tcnn",
+        "  config (11 hashed levels x 8 corners x batch = 880K scatter-ids/step) at",
+        "  ~20-25 steps/s no matter how the backward is structured. The TPU-native",
+        "  NGP row reaches the same quality class by keeping full-resolution levels",
+        "  DENSE (collision-free direct indexing fits the 2^23 budget on this",
+        "  workload) so the backward needs 8-11x fewer scatter-ids; big dense",
+        "  levels use the batch-scaling gathered path (cost ~ batch) instead of the",
+        "  cell-view path (cost ~ grid size), with a measured crossover at ~2^18",
+        "  cells.",
+        ngp_speedup,
         "  the F8 variant reaches 81 dB at 100 epochs (cosine decay).",
-        "- **Decoder ablation** (the three 'dense F=4' rows, equal budget): the",
-        "  reference's 'norm' decoder BatchNorms + GELUs the OUTPUT block too",
-        "  (reference models.py:712-739) and it costs ~5.9 dB — 33.88 dB vs 39.78",
-        "  for norm_proper (hidden blocks only) and 39.14 for the tcnn-style plain",
-        "  ReLU decoder. The quirk is reproduced for parity; norm_proper is the",
-        "  recommended variant when norm layers are wanted.",
+        (lambda norm=_row("dense, F=4"), proper=_row("decoder=norm_proper"), plain=_row("decoder=relu_plain"):
+            "- **Decoder ablation** (the three 'dense F=4' rows, equal budget): the\n"
+            "  reference's 'norm' decoder BatchNorms + GELUs the OUTPUT block too\n"
+            f"  (reference models.py:712-739) and it costs ~{proper['psnr'] - norm['psnr']:.1f} dB — "
+            f"{norm['psnr']} dB vs {proper['psnr']}\n"
+            f"  for norm_proper (hidden blocks only) and {plain['psnr']} for the tcnn-style plain\n"
+            "  ReLU decoder. The quirk is reproduced for parity; norm_proper is the\n"
+            "  recommended variant when norm layers are wanted."
+            if _row("dense, F=4") and _row("decoder=norm_proper") and _row("decoder=relu_plain") else "")(),
         "- **Temporal interpolation**: direct INRs and classical linear",
         "  interpolation are both temporal smoothers — their held-out errors are",
         "  highly correlated (a 50/50 blend gains nothing, measured) and they",

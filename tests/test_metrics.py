@@ -47,6 +47,16 @@ class TestSsim:
         with pytest.raises(ValueError, match="win_size"):
             ssim(jnp.ones((4, 4)), jnp.ones((4, 4)))
 
+    def test_near_exact_reconstruction_stays_below_one(self):
+        # f32 cancellation regression guard: with large means, E[x^2]-E[x]^2
+        # used to blow past 1.0 for near-exact reconstructions; the mean-shifted
+        # moment computation must keep SSIM <= 1 (+ float32 rounding).
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(0.9 + 0.1 * rng.random((64, 64, 9)), dtype=jnp.float32)
+        y = x + jnp.asarray(1e-4 * rng.standard_normal((64, 64, 9)), dtype=jnp.float32)
+        v = float(ssim(y, x))
+        assert 0.999 < v <= 1.0 + 1e-6
+
     def test_matches_skimage_reference_case(self):
         # Hand-verified oracle: constant-vs-shifted-constant image.
         x = jnp.full((16, 16), 0.5)
