@@ -80,12 +80,18 @@ class TrainResult:
 
     @property
     def steady_steps_per_sec(self) -> float:
-        """Steps/sec excluding the first (compile-bearing) epoch."""
+        """Steps/sec excluding the first (compile-bearing) epoch.
+
+        Uses the MEDIAN per-epoch wall time: the TPU tunnel in this
+        environment occasionally breaks blocking semantics for a stretch
+        (some epochs time near-zero while a later sync absorbs the stall),
+        and a mean over epochs turns one such stretch into a nonsense rate.
+        """
         if len(self.epoch_times_s) <= 1:
             return self.steps_per_sec
-        steady = self.epoch_times_s[1:]
+        steady = float(np.median(self.epoch_times_s[1:]))
         steps_per_epoch = self.steps / len(self.epoch_times_s)
-        return float(steps_per_epoch * len(steady) / steady.sum())
+        return float(steps_per_epoch / max(steady, 1e-9))
 
 
 def make_optimizer(cfg: TrainConfig, n_steps_per_epoch: int = 1):
