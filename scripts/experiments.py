@@ -205,6 +205,16 @@ def main():
                             warp_w0=5.0, warp_scale=0.05),
               TrainConfig(batch_size=10000, epochs=2 * ep, lr=1e-2, optimizer="adam_tcnn",
                           lr_schedule="cosine", cosine_t_max=2 * ep, weight_decay=1e-5))
+    # d) + small zero-init appearance residual (sweep winner: absorbs contrast
+    # drift that motion alone cannot express; larger residuals regress toward
+    # the direct-INR failure mode — 0.1 already loses SSIM)
+    run_proto("warp_inr (+ appearance residual)",
+              make_warp_inr(dim_in=3, n_levels=4, n_features_per_level=4, log2_hashmap_size=23,
+                            base_resolution=(64, 64), finest_resolution=(352, 352),
+                            dim_hidden=64, n_layers=2, warp_hidden=64, warp_layers=3,
+                            warp_w0=5.0, warp_scale=0.05, residual_scale=0.05),
+              TrainConfig(batch_size=10000, epochs=2 * ep, lr=1e-2, optimizer="adam_tcnn",
+                          lr_schedule="cosine", cosine_t_max=2 * ep, weight_decay=1e-5))
 
     even = img[..., ::2]
     lin = linear_interpolate_volume(even, img.shape)
