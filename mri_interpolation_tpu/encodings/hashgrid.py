@@ -355,8 +355,10 @@ class HashGridEncoding:
         # ---- big dense + hashed levels: ONE packed gather + custom VJP with
         # one packed scatter-add (autodiff would emit per-level/per-corner
         # scatters and rematerialize corner rows; XLA scatter on this TPU
-        # costs ~50ns/id, so the backward is structured around a single
-        # scatter op and the cheap id/weight recompute).
+        # costs ~50-85ns per scattered element with a ~2.7x cliff above
+        # ~2^18 destination rows — sorted ids / indices_are_sorted hints /
+        # segment_sum don't beat it — so the backward is structured around a
+        # single scatter op and the cheap id/weight recompute).
         packed_levels = [l for l in range(L) if not self.level_cellview[l]]
         if packed_levels:
             feats = self._packed_features(table, xs, n)  # (N, Lp, F)
