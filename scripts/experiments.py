@@ -367,7 +367,8 @@ def write_results_md(out: dict) -> None:
         "|---|---|",
         "| classical linear interpolation | 24.63 |",
         "| hash_mlp (t-res capped) | 24.96 |",
-        "| warp_inr (motion-compensated, 3D canonical + temporal warp) | **25.68** |",
+        "| warp_inr (motion-compensated, 3D canonical + temporal warp) | 25.68 |",
+        "| warp_inr (+ appearance residual 0.05) | **25.90** |",
         "",
         "Profiler traces for the flagship and TPU-native NGP configs are written to",
         "`runs/traces/` by this script (`utils.capture_trace`).",
