@@ -168,6 +168,71 @@ def main():
                           dim_hidden=64, n_layers=2, decoder=dec),
             TrainConfig(batch_size=10000, epochs=int(50 * k) or 2, lr=5e-3), ds01))
 
+    # 13. ReLU MLP, test_script.py parity config (test_script.py:22-24)
+    from mri_interpolation_tpu.models import make_hash_siren, make_mlp, make_psf_siren
+
+    rows.append(fit_and_eval(
+        "mlp 352x8 (test_script config)",
+        make_mlp(dim_in=3, dim_hidden=352, n_layers=8),
+        TrainConfig(batch_size=20000, epochs=int(50 * k) or 2, lr=1e-4), ds01))
+
+    # 14. PSF-SIREN: slice-profile objective (125x coordinate expansion)
+    spacing = tuple(0.5 / max(s - 1, 1) for s in ds11.shape[:3])
+    rows.append(fit_and_eval(
+        "psf_siren 256x5 (5^3 PSF)",
+        make_psf_siren(dim_in=3, dim_hidden=256, n_layers=5,
+                       coordinates_spacing=spacing, n_sample=5),
+        TrainConfig(batch_size=4096, epochs=int(10 * k) or 1, lr=1e-4),
+        ds11, lo=-1.0, data_range=2.0))
+
+    # 15. HashSirenNet (dead code in the reference, working here) — all-dense
+    # 2D..3D levels under log2 17 so the modulation path is not scatter-bound
+    rows.append(fit_and_eval(
+        "hash_siren 64x4 (10L dense)",
+        make_hash_siren(dim_in=3, dim_hidden=64, n_layers=4, n_levels=10,
+                        log2_hashmap_size=17, base_resolution=16, per_level_scale=1.4),
+        TrainConfig(batch_size=20000, epochs=int(30 * k) or 2, lr=1e-4),
+        ds11, lo=-1.0, data_range=2.0))
+
+    # 16/17. multi-frame models (frame-indexed fitting, one whole frame per
+    # step — MriFramesDataModule semantics, datamodules.py:256-296)
+    from mri_interpolation_tpu.models import make_multi_hash_mlp, make_multi_siren
+
+    img2d = ds01.image()
+    T = img2d.shape[-1]
+    xs_ = np.linspace(0, 1, img2d.shape[0], dtype=np.float32)
+    ys_ = np.linspace(0, 1, img2d.shape[1], dtype=np.float32)
+    X_, Y_ = np.meshgrid(xs_, ys_, indexing="ij")
+    coords2d = np.stack([X_.reshape(-1), Y_.reshape(-1)], axis=-1)
+    frame_values = np.stack([img2d[..., t].reshape(-1, 1) for t in range(T)], axis=0)
+
+    def fit_frames_row(name, model, cfg, coords, vals, lo, unmap):
+        t0 = time.time()
+        res = Trainer(cfg).fit_frames(model, coords, vals)
+        vols = [evaluate_grid(model, res.params, res.state, img2d.shape[:2], lo=lo, frame_idx=t)
+                for t in range(T)]
+        recon = unmap(np.stack(vols, axis=-1))
+        q = evaluate_reconstruction(jax.numpy.asarray(recon), jax.numpy.asarray(img2d), data_range=1.0)
+        row = {"name": name, "params": param_count(res.params), "epochs": cfg.epochs,
+               "batch": coords.shape[-2], "steady_steps_per_sec": round(res.steady_steps_per_sec, 1),
+               "voxel_evals_per_sec": round(res.steady_steps_per_sec * coords.shape[-2], 0),
+               "final_loss": round(res.final_loss, 6), "psnr": round(q["psnr"], 2),
+               "ssim": round(q.get("ssim", float("nan")), 4), "wall_s": round(time.time() - t0, 1)}
+        print(json.dumps(row), flush=True)
+        rows.append(row)
+
+    fit_frames_row("multi_siren 128x4 (15 frame encoders)",
+                   make_multi_siren(dim_in=2, dim_hidden=128, n_layers=4, n_frames=T),
+                   TrainConfig(batch_size=coords2d.shape[0], epochs=int(150 * k) or 2, lr=1e-4),
+                   coords2d * 2.0 - 1.0, frame_values * 2.0 - 1.0, -1.0,
+                   lambda v: (v + 1.0) / 2.0)
+    fit_frames_row("multi_hash_mlp (15 frame encoders, 10L dense)",
+                   make_multi_hash_mlp(dim_in=2, n_frames=T, n_levels=10, n_features_per_level=2,
+                                       log2_hashmap_size=17, base_resolution=16, per_level_scale=1.4,
+                                       dim_hidden=64, n_layers=2),
+                   TrainConfig(batch_size=coords2d.shape[0], epochs=int(100 * k) or 2, lr=5e-3),
+                   coords2d, frame_values, 0.0, lambda v: v)
+
     # --- even-frame interpolation protocol: INR variants vs classical
     # baseline (train on data[..., ::2], evaluate the held-out odd frames).
     img = ds01.image()
@@ -327,6 +392,13 @@ def write_results_md(out: dict) -> None:
         "  cells.",
         ngp_speedup,
         "  the F8 variant reaches 81 dB at 100 epochs (cosine decay).",
+        "- **Full model-zoo coverage**: every reference family has a measured",
+        "  row. psf_siren's step rate reflects the 125x PSF coordinate expansion",
+        "  (a 4096-voxel batch is 512K network evaluations per step, ~11.7M",
+        "  net-evals/s); the multi-frame models step on whole 124K-voxel frames",
+        "  (MriFramesDataModule semantics). hash_siren is the reference's dead",
+        "  code made to run; its modulation architecture is simply weak on this",
+        "  workload.",
         (lambda norm=_row("dense, F=4"), proper=_row("decoder=norm_proper"), plain=_row("decoder=relu_plain"):
             "- **Decoder ablation** (the three 'dense F=4' rows, equal budget): the\n"
             "  reference's 'norm' decoder BatchNorms + GELUs the OUTPUT block too\n"
