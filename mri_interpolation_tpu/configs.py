@@ -70,6 +70,12 @@ class RunConfig:
     n_sample: int = 5                    # PSF points per axis (--n_sample, launcher.py:44-48)
     encoder_type: str = "hash"
     skip_connections: Tuple[int, ...] = ()
+    # warp_inr (motion-compensated INR) knobs
+    warp_scale: float = 0.05
+    warp_w0: float = 5.0
+    warp_hidden: int = 64
+    warp_layers: int = 3
+    residual_scale: float = 0.0          # >0: small zero-init appearance residual
 
     # --- hash encoding (L2) — HashConfig defaults (config/base.py:69-77)
     n_levels: int = 4
@@ -119,6 +125,11 @@ class RunConfig:
             "decoder": self.decoder,
             "growth": self.growth,
             "temporal_tv": self.temporal_tv,
+            "warp_scale": self.warp_scale,
+            "warp_w0": self.warp_w0,
+            "warp_hidden": self.warp_hidden,
+            "warp_layers": self.warp_layers,
+            "residual_scale": self.residual_scale,
         }
 
 

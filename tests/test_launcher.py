@@ -308,3 +308,24 @@ class TestWarpLauncher:
         assert np.isfinite(summary["final_loss"])
         import os
         assert os.path.exists(os.path.join(summary["run_dir"], "pred.nii.gz"))
+
+    def test_warp_knobs_reach_the_model(self):
+        """--warp_scale/--warp_w0/--residual_scale flow config -> factory
+        (the measured protocol winner must be reachable from the CLI)."""
+        parser = build_parser()
+        args = parser.parse_args(["--model_class", "warp_inr", "--warp_scale", "0.08",
+                                  "--warp_w0", "3.0", "--residual_scale", "0.05",
+                                  "--warp_hidden", "32", "--warp_layers", "2"])
+        cfg = configs.override_from_args(configs.default_hash_config(), args)
+        cfg.base_resolution = (4, 4)
+        cfg.finest_resolution = (8, 8)
+        cfg.n_levels = 2
+        cfg.log2_hashmap_size = 8
+        model = build_model(cfg, dim_in=3)
+        assert model.name == "warp_inr"
+        assert model.hparams["warp_scale"] == 0.08
+        assert model.hparams["warp_w0"] == 3.0
+        # residual head exists iff residual_scale > 0
+        import jax
+        params, _ = model.init(jax.random.key(0))
+        assert "residual" in params
