@@ -427,8 +427,8 @@ def write_results_md(out: dict) -> None:
         "",
         "Launcher CLI end-to-end on the complete (352,352,6,15) volume (11.2M",
         "voxels, hash resolutions auto-derived from the volume shape, batch 50000,",
-        "30 epochs, round-2 recipe): **PSNR 68.36 dB** (round-1 recipe: 30.92 dB),",
-        "with the 2x temporal super-resolution grid",
+        "30 epochs, round-2 recipe): **PSNR 68.36 dB** (re-verified end-to-end;",
+        "round-1 recipe: 30.92 dB), with the 2x temporal super-resolution grid",
         "`interpolation(352,352,6,30).nii.gz` produced by the same run.",
         "",
         "```",
