@@ -391,8 +391,9 @@ def write_results_md(out: dict) -> None:
         "  cell-view path (cost ~ grid size), with a measured crossover at ~2^18",
         "  cells.",
         ngp_speedup,
-        "  the F8 variant reaches 81.1 dB at 100 epochs and 84.3 dB at 300",
-        "  (cosine decay; both re-verified).",
+        "  the F8 variant reaches 81.1 dB at 100 epochs and saturates at 84.3 dB",
+        "  (300 and 600 epochs measure identically — capacity-limited, not",
+        "  optimization-limited; all re-verified).",
         "- **Full model-zoo coverage**: every reference family has a measured",
         "  row. psf_siren's step rate reflects the 125x PSF coordinate expansion",
         "  (a 4096-voxel batch is 512K network evaluations per step, ~11.7M",
