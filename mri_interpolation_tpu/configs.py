@@ -41,6 +41,7 @@ class RunConfig:
     image_path: str = "sample_ankle_dyn_mri.nii.gz"
     slice_z: Optional[int] = None        # take (x,y,t) slice at this z (test_script.py:20 protocol)
     even_frames_only: bool = False       # train on data[..., ::2] (hash_experimentation.py:313-317)
+    undersample_pct: float = 0.0         # >0: keep only this % of voxels (create_rn_mask, utils.py:91-104)
     zero_centered: bool = False          # norm_siren: coords/values in [-1,1] (datamodules.py:141-161)
 
     # --- training (L4)
@@ -55,6 +56,7 @@ class RunConfig:
     lr_schedule: Optional[str] = None
     cosine_t_max: int = 10
     data_parallel: bool = False          # shard batches over all devices
+    shard_tables: bool = False           # tensor-shard the hash table over all devices
 
     # --- model (L3)
     model_class: str = "hash_mlp"        # (--model_class, launcher.py:50-52)
@@ -95,6 +97,8 @@ class RunConfig:
     checkpoint_path: Optional[str] = None
     save_checkpoint: bool = True
     checkpoint_every_epochs: int = 0     # >0: also checkpoint every k epochs
+    eval_every_epochs: int = 0           # >0: stream eval PSNR into scalars.jsonl every k epochs
+    save_latents: bool = False           # also save encoder latent maps (latents.nii.gz)
 
     def model_kwargs(self) -> Dict[str, Any]:
         """The union-of-kwargs the launcher passes to the model factory
@@ -239,6 +243,10 @@ def load_yaml_config(path: str, base: Optional[RunConfig] = None) -> RunConfig:
 
     with open(path) as f:
         doc = yaml.safe_load(f) or {}
+    if not isinstance(doc, dict):
+        raise ValueError(
+            f"YAML config {path!r} must be a mapping of sections, got {type(doc).__name__}"
+        )
     cfg = dataclasses.replace(base if base is not None else RunConfig())
     known = {f.name for f in fields(cfg)}
 
@@ -274,7 +282,12 @@ def load_yaml_config(path: str, base: Optional[RunConfig] = None) -> RunConfig:
     if opt and opt.get("_target_") not in (None, "FakeOptimizer"):
         put("optimizer", str(opt["_target_"]).lower())
     if opt:
-        put("lr", opt.get("lr") or opt.get("learning_rate"))
+        # explicit None-check so an explicit ``lr: 0`` is honored, not
+        # treated as missing
+        lr = opt.get("lr")
+        if lr is None:
+            lr = opt.get("learning_rate")
+        put("lr", lr)
     return cfg
 
 

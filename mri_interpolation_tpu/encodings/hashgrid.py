@@ -311,12 +311,22 @@ class HashGridEncoding:
             views.append(cv.reshape(-1, C * F))
         return jnp.concatenate(views, axis=0) if views else None
 
-    def apply(self, params, x):
+    def prepare(self, params):
+        """Precompute the batch-independent encode state: the dense
+        cell-corner view. Building the view costs sequential traffic over the
+        whole dense table; inside an inference scan it is loop-INVARIANT, so
+        callers evaluating many batches (infer/grid.py) hoist it out and pass
+        it back via ``apply(..., prepared=...)`` — measured as the dominant
+        per-chunk cost of dense-grid inference."""
+        return {"cell_view": self._dense_cell_table(params["table"])}
+
+    def apply(self, params, x, prepared=None):
         """Encode coords -> (..., L * F) features.
 
         Small dense levels: one fused row-gather from the cell-corner view.
         Big dense + hashed levels: packed per-corner gathers with a
-        single-scatter custom VJP.
+        single-scatter custom VJP. ``prepared``: optional output of
+        :meth:`prepare` (hoists the cell-view build out of inference loops).
         """
         table = params["table"]
         d, L, C, F = self.input_dim, self.n_levels, 1 << self.input_dim, self.n_features_per_level
@@ -330,7 +340,7 @@ class HashGridEncoding:
         # ---- small dense levels: fused cell-view row-gather
         dense_levels = [l for l in range(L) if self.level_cellview[l]]
         if dense_levels:
-            cv = self._dense_cell_table(table)  # (total_cells, C*F)
+            cv = prepared["cell_view"] if prepared is not None else self._dense_cell_table(table)
             cell_offset = 0
             ids_list, weights_list = [], []
             for l in dense_levels:

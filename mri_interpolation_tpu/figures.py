@@ -75,6 +75,52 @@ def make_figures(run_dir: str, pred_name: str = "pred.nii.gz", fps: int = 5,
     out["gif"] = gif_path
     if frame_paths:
         out["frames"] = frame_paths
+
+    # encoder latent panel (parity: the reference's predict_step latent
+    # capture, models.py:640-646,746-751; written by launcher --save_latents)
+    latents_path = os.path.join(run_dir, "latents.nii.gz")
+    if os.path.exists(latents_path):
+        lat = np.asarray(nifti.load(latents_path).get_fdata(np.float32))
+        while lat.ndim > 3:  # (x, y, [z,] t, D) -> mid-slice down to (x, y, D)
+            lat = lat[..., lat.shape[-2] // 2, :]
+        n_ch = lat.shape[-1]
+        ncols = min(n_ch, 8)
+        nrows = -(-n_ch // ncols)
+        fig, axes = plt.subplots(nrows, ncols, figsize=(2 * ncols, 2 * nrows))
+        for i, ax in enumerate(np.atleast_1d(axes).ravel()):
+            ax.axis("off")
+            if i < n_ch:
+                ax.imshow(lat[..., i].T, cmap="viridis", origin="lower")
+                ax.set_title(f"ch {i}", fontsize=7)
+        fig.suptitle("encoder latents (mid frame)", fontsize=9)
+        lat_path = os.path.join(run_dir, "latents_grid.png")
+        fig.savefig(lat_path, dpi=120, bbox_inches="tight")
+        plt.close(fig)
+        out["latents"] = lat_path
+
+    # convergence curves from the scalars stream (train_loss + eval psnr)
+    scalars_path = os.path.join(run_dir, "scalars.jsonl")
+    if os.path.exists(scalars_path):
+        from .train.scalars import read_scalars
+
+        losses = read_scalars(scalars_path, tag="train_loss")
+        psnrs = read_scalars(scalars_path, tag="psnr")
+        if losses:
+            fig, ax = plt.subplots(figsize=(6, 3.5))
+            ax.semilogy([r["step"] for r in losses], [r["value"] for r in losses],
+                        lw=0.7, label="train_loss")
+            ax.set_xlabel("step")
+            ax.set_ylabel("train loss")
+            if psnrs:
+                ax2 = ax.twinx()
+                ax2.plot([r["step"] for r in psnrs], [r["value"] for r in psnrs],
+                         "o-", color="tab:orange", ms=3, label="psnr")
+                ax2.set_ylabel("PSNR (dB)")
+            fig.tight_layout()
+            curve_path = os.path.join(run_dir, "convergence.png")
+            fig.savefig(curve_path, dpi=120)
+            plt.close(fig)
+            out["convergence"] = curve_path
     return out
 
 

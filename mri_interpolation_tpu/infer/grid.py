@@ -85,12 +85,18 @@ def evaluate_grid(
     chunk_size: int = 1 << 17,
     frame_idx: Optional[int] = None,
     transform=None,
+    return_latents: bool = False,
 ) -> np.ndarray:
     """Evaluate the INR on a dense grid of ``shape``; returns the volume.
 
     ``lo/hi`` select the coordinate convention the model was trained with
     ([0,1] default, [-1,1] for SIREN-normalized fits). ``transform`` optionally
     post-processes each chunk's coordinates (e.g. temporal remapping).
+
+    ``return_latents=True`` additionally returns the ENCODER feature maps as a
+    ``shape + (enc_dim,)`` array (parity: the reference's ``predict_step``
+    latent capture, models.py:640-646,746-751) — requires a model exposing the
+    encode/decode split (the hash families).
     """
     shape = tuple(int(s) for s in shape)
     n = int(np.prod(shape))
@@ -98,30 +104,65 @@ def evaluate_grid(
     n_chunks = -(-n // chunk_size)
     padded = n_chunks * chunk_size
 
-    cache_key = (id(model), shape, lo, hi, chunk_size, frame_idx, id(transform))
+    cache_key = (id(model), shape, lo, hi, chunk_size, frame_idx, id(transform), return_latents)
     runner = _cache_get(cache_key)
     if runner is None:
-
-        def eval_chunk(carry, start):
-            params, state = carry
-            flat = start + jnp.arange(chunk_size)
-            flat = jnp.minimum(flat, n - 1)  # pad tail by repeating the last voxel
-            x = flat_index_to_coords(flat, shape, lo, hi)
-            if transform is not None:
-                x = transform(x)
-            kwargs = {} if frame_idx is None else {"frame_idx": frame_idx}
-            y, _ = model.apply(params, state, x, train=False, rng=None, **kwargs)
-            return carry, y
+        # Hash models expose a split encode/decode with hoistable
+        # batch-independent encode state (the dense cell-corner view).
+        # Building that view per chunk inside the scan was measured as the
+        # dominant per-chunk cost of dense-grid inference — hoist it out.
+        hp = model.hparams or {}
+        prepare, encode, decode = hp.get("prepare_encode"), hp.get("encode"), hp.get("decode")
+        split = encode is not None and decode is not None and frame_idx is None
+        if return_latents and not split:
+            raise ValueError(
+                "return_latents requires a model exposing the encode/decode "
+                "split (the hash families) and no frame_idx"
+            )
 
         starts = jnp.arange(n_chunks) * chunk_size
-        runner = jax.jit(lambda p, s: jax.lax.scan(eval_chunk, (p, s), starts)[1])
+
+        def make_chunk_eval(prepared):
+            def eval_chunk(carry, start):
+                params, state = carry
+                flat = start + jnp.arange(chunk_size)
+                flat = jnp.minimum(flat, n - 1)  # pad tail by repeating the last voxel
+                x = flat_index_to_coords(flat, shape, lo, hi)
+                if transform is not None:
+                    x = transform(x)
+                if split:
+                    z = encode(params, x, prepared)
+                    y, _ = decode(params, state, z, train=False, rng=None)
+                    return carry, ((y, z) if return_latents else y)
+                kwargs = {} if frame_idx is None else {"frame_idx": frame_idx}
+                y, _ = model.apply(params, state, x, train=False, rng=None, **kwargs)
+                return carry, y
+
+            return eval_chunk
+
+        if split and prepare is not None:
+
+            def run(p, s):
+                prepared = prepare(p)  # loop-invariant: built once, not per chunk
+                return jax.lax.scan(make_chunk_eval(prepared), (p, s), starts)[1]
+
+            runner = jax.jit(run)
+        else:
+            runner = jax.jit(lambda p, s: jax.lax.scan(make_chunk_eval(None), (p, s), starts)[1])
         _cache_put(cache_key, runner)
 
     out = runner(params, state)
-    out = np.asarray(out).reshape(padded, -1)[:n]
-    if out.shape[-1] == 1:
-        return out.reshape(shape)
-    return out.reshape(shape + (out.shape[-1],))
+
+    def _to_volume(arr):
+        arr = np.asarray(arr).reshape(padded, -1)[:n]
+        if arr.shape[-1] == 1:
+            return arr.reshape(shape)
+        return arr.reshape(shape + (arr.shape[-1],))
+
+    if return_latents:
+        y, z = out
+        return _to_volume(y), _to_volume(z)
+    return _to_volume(out)
 
 
 def predict_batched(
@@ -149,13 +190,30 @@ def predict_batched(
     cache_key = ("predict", id(model), chunks.shape, frame_idx)
     runner = _cache_get(cache_key)
     if runner is None:
+        hp = model.hparams or {}
+        prepare, encode, decode = hp.get("prepare_encode"), hp.get("encode"), hp.get("decode")
+        hoist = prepare is not None and encode is not None and decode is not None and frame_idx is None
 
-        def eval_chunk(carry, x):
-            p, s = carry
-            y, _ = model.apply(p, s, x, train=False, rng=None, **kwargs)
-            return carry, y
+        def make_chunk_eval(prepared):
+            def eval_chunk(carry, x):
+                p, s = carry
+                if prepared is not None:
+                    y, _ = decode(p, s, encode(p, x, prepared), train=False, rng=None)
+                else:
+                    y, _ = model.apply(p, s, x, train=False, rng=None, **kwargs)
+                return carry, y
 
-        runner = jax.jit(lambda p, s, c: jax.lax.scan(eval_chunk, (p, s), c)[1])
+            return eval_chunk
+
+        if hoist:
+
+            def run(p, s, c):
+                prepared = prepare(p)  # hoisted out of the chunk scan
+                return jax.lax.scan(make_chunk_eval(prepared), (p, s), c)[1]
+
+            runner = jax.jit(run)
+        else:
+            runner = jax.jit(lambda p, s, c: jax.lax.scan(make_chunk_eval(None), (p, s), c)[1])
         _cache_put(cache_key, runner)
 
     out = runner(params, state, chunks)

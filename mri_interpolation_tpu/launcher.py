@@ -113,6 +113,16 @@ def run(cfg: RunConfig, run_dir: Optional[str] = None) -> dict:
     else:
         train_coords, train_values = ds.coords, ds.values
 
+    if cfg.undersample_pct > 0.0:
+        # Sparse-acquisition simulation: keep a random undersample_pct% of
+        # the training voxels (create_rn_mask — the reference mask's stated
+        # purpose, utils.py:91-104) and reconstruct the full grid from them.
+        from .utils.imaging import create_rn_mask
+
+        _, kept = create_rn_mask((len(train_values),), cfg.undersample_pct, key=cfg.seed)
+        train_coords = np.ascontiguousarray(train_coords[kept])
+        train_values = np.ascontiguousarray(train_values[kept])
+
     dim_in = ds.dim_in
     cfg.dim_in = dim_in
 
@@ -161,17 +171,51 @@ def run(cfg: RunConfig, run_dir: Optional[str] = None) -> dict:
         log_jsonl=os.path.join(run_dir, "scalars.jsonl"),
         checkpoint_dir=os.path.join(run_dir, "checkpoints") if cfg.save_checkpoint else None,
         checkpoint_every_epochs=cfg.checkpoint_every_epochs,
+        eval_every_epochs=cfg.eval_every_epochs,
     )
-    if cfg.data_parallel and len(jax.devices()) > 1:
+
+    # Periodic eval PSNR on a fixed training-set subsample, streamed into
+    # scalars.jsonl next to train_loss (convergence curves — e.g. "most
+    # quality arrives in the cosine tail" — become plottable from artifacts).
+    eval_fn = None
+    if cfg.eval_every_epochs > 0:
+        from .infer import predict_batched
+
+        stride = max(1, len(train_coords) // 100_000)
+        ev_c = np.ascontiguousarray(train_coords[::stride])
+        ev_v = np.ascontiguousarray(train_values[::stride])
+        data_range = 2.0 if cfg.zero_centered else 1.0
+
+        def eval_fn(params, state):
+            y = predict_batched(model, params, state, ev_c, chunk_size=len(ev_c))
+            mse = float(np.mean((y - ev_v) ** 2))
+            return {"psnr": 10.0 * np.log10(data_range**2 / max(mse, 1e-12))}
+    if cfg.shard_tables and len(jax.devices()) > 1:
+        # Tensor-shard the hash table over the mesh (tables that exceed one
+        # chip's HBM — parallel/sharded_table.py). Composes the model's own
+        # decoder semantics; requires a make_hash_mlp-family model.
+        from .parallel import ShardedHashTrainer
+
+        result = ShardedHashTrainer(tc).fit(model, train_coords, train_values, params=params, state=state)
+    elif cfg.data_parallel and len(jax.devices()) > 1:
         from .parallel import DataParallelTrainer
 
         result = DataParallelTrainer(tc).fit(model, train_coords, train_values, params=params, state=state)
     else:
-        result = Trainer(tc).fit(model, train_coords, train_values, params=params, state=state)
+        result = Trainer(tc).fit(model, train_coords, train_values, params=params, state=state,
+                                 eval_fn=eval_fn)
 
     # ----- reconstruction (parity: launcher.py:179-189)
     lo = -1.0 if cfg.zero_centered else 0.0
-    recon = evaluate_grid(model, result.params, result.state, ds.shape, lo=lo)
+    if cfg.save_latents and (model.hparams or {}).get("encode") is not None:
+        # Encoder latent capture (parity: predict_step latent collection,
+        # reference models.py:640-646,746-751).
+        recon, latents = evaluate_grid(model, result.params, result.state, ds.shape,
+                                       lo=lo, return_latents=True)
+        nifti.save(latents.astype(np.float32), os.path.join(run_dir, "latents.nii.gz"),
+                   pixdim=ds.pixdim)
+    else:
+        recon = evaluate_grid(model, result.params, result.state, ds.shape, lo=lo)
     if recon.ndim == 2:
         try:
             import matplotlib

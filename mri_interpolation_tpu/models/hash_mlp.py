@@ -112,11 +112,10 @@ def make_hash_mlp(
             state = {"bn": bn_state}
         return params, state
 
-    def apply(params, state, x, train=False, rng=None):
-        if fuse_encoder:
-            z = pallas_hash_encode(encoder, params["encoder"], x, interpret=interp)
-        else:
-            z = encoder.apply(params["encoder"], x)
+    def decode(params, state, z, train=False, rng=None):
+        """Decoder stack on pre-encoded features. Split out from ``apply`` so
+        the tensor-sharded trainer (parallel/sharded_table.py) can substitute
+        a distributed encode while reusing the exact decoder semantics."""
         if fuse_decoder:
             # tcnn FullyFusedMLP shape: ReLU between layers, identity output
             # (config/hash_config.json:23-27) — one Pallas kernel per tile.
@@ -137,6 +136,19 @@ def make_hash_mlp(
         new_state = {"bn": new_bn} if norm else state
         return z, new_state
 
+    def encode(params, x, prepared=None):
+        if fuse_encoder:
+            return pallas_hash_encode(encoder, params["encoder"], x, interpret=interp)
+        return encoder.apply(params["encoder"], x, prepared=prepared)
+
+    # Batch-independent encode state (the dense cell-corner view), hoistable
+    # out of inference loops (infer/grid.py). None when the Pallas encoder is
+    # active (it builds no view).
+    prepare_encode = None if fuse_encoder else (lambda params: encoder.prepare(params["encoder"]))
+
+    def apply(params, state, x, train=False, rng=None):
+        return decode(params, state, encode(params, x), train=train, rng=rng)
+
     loss_fn = None
     if temporal_tv > 0.0:
         from ..encodings.hashgrid import temporal_table_tv
@@ -153,4 +165,7 @@ def make_hash_mlp(
 
     return Model(init=init, apply=apply, dim_in=dim_in, dim_out=dim_out, name="hash_mlp",
                  hparams={"lr": lr, "n_levels": n_levels, "encoder": encoder,
-                          "decoder": decoder, "dim_hidden": dim_hidden}, loss_fn=loss_fn)
+                          "decoder": decoder, "dim_hidden": dim_hidden,
+                          "decode": decode, "encode": encode,
+                          "prepare_encode": prepare_encode,
+                          "temporal_tv": temporal_tv}, loss_fn=loss_fn)

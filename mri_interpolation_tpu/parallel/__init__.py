@@ -4,8 +4,10 @@ from .data_parallel import DataParallelTrainer, evaluate_grid_sharded, fit_multi
 from .mesh import Mesh, NamedSharding, P, make_mesh, replicated, sharded_batch
 from .sharded_table import (
     ShardedHashTrainer,
-    plan_level_sharding,
+    make_sharded_encode,
+    plan_table_sharding,
     shard_table,
+    sharded_encode_apply,
     unshard_table,
 )
 
@@ -14,7 +16,9 @@ __all__ = [
     "evaluate_grid_sharded",
     "fit_multi_volume",
     "ShardedHashTrainer",
-    "plan_level_sharding",
+    "plan_table_sharding",
+    "make_sharded_encode",
+    "sharded_encode_apply",
     "shard_table",
     "unshard_table",
     "make_mesh",

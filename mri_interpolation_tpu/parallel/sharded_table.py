@@ -2,34 +2,46 @@
 
 The multiresolution hash table is the ONE component whose memory can exceed a
 single chip (SURVEY.md §2.7: log2_hashmap_size 23-24 x 16 levels x features;
-table sizing at reference encoding.py:176,319-321). This module shards it the
-TPU way — by LEVEL over the mesh's ``data`` axis ("expert-parallel" style):
+table sizing at reference encoding.py:176,319-321 — a full-resolution 4D
+dense level at F=8 is ~450 MB on its own). This module shards the fused table
+the TPU way, over the mesh's ``data`` axis:
 
-- each device owns a size-balanced subset of the levels' tables (greedy
-  bin-packing, ``TableShardingPlan``), holding ~1/ndev of the rows at rest;
-- forward: every device computes its own levels' features for the (replicated)
-  batch — gathers stay DEVICE-LOCAL, no per-lookup communication — then ONE
-  ``all_gather`` of the (N, maxL*F) feature block rides ICI and a static
-  column permutation restores logical level order;
+- the table is partitioned into per-device SLOTS. A level whose rows fit a
+  device's fair share is assigned whole (greedy size-balanced bin-packing);
+  a level LARGER than the fair share — the production case: big dense levels
+  — is split into one contiguous vertex row-range per device. Dense-level
+  split boundaries are aligned to whole time-lines (multiples of the last
+  axis's vertex count) so the temporal-TV prior stays device-local;
+- forward: every device computes the oracle corner geometry
+  (``HashGridEncoding.corner_ids_and_weights`` — the exact ids/weights the
+  single-table path uses), gathers ONLY from its local shard (out-of-range
+  corners masked to weight 0), and contributes a partial (N, S*F) feature
+  block; ONE ``all_gather`` rides ICI and a static (ndev*S, L) 0/1 matmul
+  sums the partials back into logical level order. Whole-level slots have
+  exactly one contributor; split slots sum across devices — one uniform
+  reconstruction for both;
 - backward: autodiff through ``all_gather`` (its transpose routes each
-  device's feature-gradient slice back to the owner), so table-shard grads are
-  computed and applied locally; the small decoder is replicated and its grads
-  are identical on every device by construction (no pmean needed).
+  device's feature-gradient slice back to the owner), so table-shard grads
+  are computed and applied locally. Decoder compute is replicated with
+  identical inputs, so its grads are identical on every device (no pmean).
 
-Communication per step: one all_gather of N * maxL * F floats — independent of
-table size. This is what makes level sharding the right layout: requests/
-responses per lookup (row-sharding + all_to_all) would move 2^d * L ids per
-voxel instead.
+Communication per step: one all_gather of N * S * F floats — independent of
+table size. Per-lookup request/response routing (all_to_all of 2^d * L ids
+per voxel) would move far more and serialize on ICI latency.
 
-Restricted to ``storage="hashed"`` encodings (reference-exact semantics; also
-the only case whose tables are large — dense levels are small by definition).
+``ShardedHashTrainer`` COMPOSES with the standard model/`Trainer` semantics
+rather than forking them: it consumes any ``make_hash_mlp`` model (norm /
+norm_proper / relu_plain decoders, dropout), mirrors ``Trainer.fit``'s RNG
+threading, shuffle/drop_last, freeze masks, grad accumulation, scalars
+stream and epoch checkpoints, and supports the ``temporal_tv`` table prior
+via an exactly-decomposed device-local formulation.
 """
 
 from __future__ import annotations
 
 import time
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import Callable, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -38,69 +50,126 @@ import optax
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..encodings.hashgrid import PRIMES, HashGridEncoding
-from ..models.core import dense, dense_init
+from ..encodings.hashgrid import HashGridEncoding
+from ..models.core import Model
 from ..train.losses import get_loss
 from ..train.trainer import TrainConfig, TrainResult, make_optimizer
 
-__all__ = ["TableShardingPlan", "shard_table", "unshard_table", "ShardedHashTrainer"]
+__all__ = [
+    "TableShardingPlan",
+    "plan_table_sharding",
+    "shard_table",
+    "unshard_table",
+    "make_sharded_encode",
+    "sharded_encode_apply",
+    "ShardedHashTrainer",
+]
 
 
 @dataclass
 class TableShardingPlan:
-    """Static level->device assignment + device-indexed geometry arrays."""
+    """Static slot layout: device -> [(level, start, length)] row-ranges.
+
+    ``start``/``length`` are LEVEL-RELATIVE rows; device arrays below are
+    padded to ``n_slots`` slots (length 0 = inert slot) and carry GLOBAL row
+    starts (level offset + start) so the encode path works off the oracle's
+    global corner ids directly.
+    """
 
     ndev: int
-    max_levels: int
+    n_slots: int
     local_rows: int
-    assign: List[List[int]]          # device -> level indices (logical order)
-    res: np.ndarray                  # (ndev, maxL, d) float32; 1.0 pad
-    sizes: np.ndarray                # (ndev, maxL) int64; 1 pad
-    local_offsets: np.ndarray        # (ndev, maxL) int64; 0 pad
-    valid: np.ndarray                # (ndev, maxL) float32 {0, 1}
-    col_perm: np.ndarray             # (L*F,) dev-major gathered col -> logical
+    slots: List[List[Tuple[int, int, int]]]
+    slot_level: np.ndarray   # (ndev, S) int32; 0 pad
+    slot_lo: np.ndarray     # (ndev, S) int64 global row start; 0 pad
+    slot_len: np.ndarray    # (ndev, S) int64; 0 pad
+    slot_off: np.ndarray    # (ndev, S) int64 local row offset; 0 pad
+    scatter: np.ndarray     # (ndev*S, L) float32 gathered-slot -> level sum
+    tv_mask: np.ndarray     # (ndev, local_rows) f32: rows (r, r+1) time-adjacent
+    tv_pairs: int           # total time-adjacent row pairs (all devices)
     n_levels: int
     n_features: int
     dim: int
 
 
-def plan_level_sharding(enc: HashGridEncoding, n_devices: int) -> TableShardingPlan:
-    if enc.level_dense.any():
-        raise ValueError("table sharding requires storage='hashed' (dense levels are small)")
+def plan_table_sharding(enc: HashGridEncoding, n_devices: int) -> TableShardingPlan:
+    """Partition the fused table: big levels split by contiguous row-range
+    across all devices, the rest greedily bin-packed by size."""
     L, F, d = enc.n_levels, enc.n_features_per_level, enc.input_dim
     sizes = enc.level_sizes.astype(np.int64)
-    # Greedy size-balanced assignment: biggest level to least-loaded device.
-    order = np.argsort(-sizes)
-    loads = np.zeros(n_devices, dtype=np.int64)
-    assign: List[List[int]] = [[] for _ in range(n_devices)]
-    for l in order:
-        dev = int(np.argmin(loads))
-        assign[dev].append(int(l))
-        loads[dev] += sizes[l]
-    for a in assign:
-        a.sort()
-    max_levels = max(len(a) for a in assign)
-    local_rows = int(max(loads))
+    total = int(sizes.sum())
+    fair = -(-total // n_devices)
 
-    res = np.ones((n_devices, max_levels, d), dtype=np.float32)
-    sz = np.ones((n_devices, max_levels), dtype=np.int64)
-    off = np.zeros((n_devices, max_levels), dtype=np.int64)
-    valid = np.zeros((n_devices, max_levels), dtype=np.float32)
-    col_perm = np.zeros(L * F, dtype=np.int64)
-    for dev, levels in enumerate(assign):
+    slots: List[List[Tuple[int, int, int]]] = [[] for _ in range(n_devices)]
+    loads = np.zeros(n_devices, dtype=np.int64)
+    big = [l for l in range(L) if int(sizes[l]) > fair]
+    small = sorted((l for l in range(L) if int(sizes[l]) <= fair), key=lambda l: -int(sizes[l]))
+
+    for l in big:
+        size = int(sizes[l])
+        # Dense levels: align split boundaries to whole time-lines (the last
+        # axis is fastest-varying in the row-major vertex grid) so every
+        # temporal-adjacent vertex pair lives on one device.
+        align = int(enc.level_resolutions[l][-1]) + 1 if enc.level_dense[l] else 1
+        bounds = [0]
+        for i in range(1, n_devices):
+            b = int(round(i * size / n_devices / align)) * align
+            bounds.append(min(max(b, bounds[-1]), size))
+        bounds.append(size)
+        for dev in range(n_devices):
+            length = bounds[dev + 1] - bounds[dev]
+            slots[dev].append((l, bounds[dev], length))
+            loads[dev] += length
+    for l in small:
+        dev = int(np.argmin(loads))
+        slots[dev].append((l, 0, int(sizes[l])))
+        loads[dev] += sizes[l]
+    for s in slots:
+        s.sort()
+
+    S = max(1, max(len(s) for s in slots))
+    local_rows = max(1, int(loads.max()))
+
+    slot_level = np.zeros((n_devices, S), dtype=np.int32)
+    slot_lo = np.zeros((n_devices, S), dtype=np.int64)
+    slot_len = np.zeros((n_devices, S), dtype=np.int64)
+    slot_off = np.zeros((n_devices, S), dtype=np.int64)
+    scatter = np.zeros((n_devices * S, L), dtype=np.float32)
+    tv_mask = np.zeros((n_devices, local_rows), dtype=np.float32)
+    tv_pairs = 0
+    for dev, dev_slots in enumerate(slots):
         cursor = 0
-        for j, l in enumerate(levels):
-            res[dev, j] = enc.level_resolutions[l]
-            sz[dev, j] = sizes[l]
-            off[dev, j] = cursor
-            valid[dev, j] = 1.0
-            # gathered layout: (ndev, N, maxL*F) -> (N, ndev*maxL*F) dev-major
-            gcol = (dev * max_levels + j) * F
-            col_perm[l * F : (l + 1) * F] = np.arange(gcol, gcol + F)
-            cursor += int(sizes[l])
+        for j, (l, start, length) in enumerate(dev_slots):
+            slot_level[dev, j] = l
+            slot_lo[dev, j] = int(enc.level_offsets[l]) + start
+            slot_len[dev, j] = length
+            slot_off[dev, j] = cursor
+            if length > 0:
+                scatter[dev * S + j, l] = 1.0
+            if length > 1 and enc.level_dense[l]:
+                # rows (r, r+1) within the slot are time-adjacent unless r is
+                # the last vertex of its time-line.
+                vt = int(enc.level_resolutions[l][-1]) + 1
+                g = start + np.arange(length - 1)
+                adj = (g % vt) != (vt - 1)
+                tv_mask[dev, cursor : cursor + length - 1] = adj.astype(np.float32)
+                tv_pairs += int(adj.sum())
+            cursor += length
+
+    # Alignment invariant: the sharded TV decomposition is exact — every
+    # within-line adjacent pair is counted exactly once.
+    expected = 0
+    for l in range(L):
+        if enc.level_dense[l]:
+            verts = enc.level_resolutions[l].astype(np.int64) + 1
+            if verts[-1] >= 2:
+                expected += int(np.prod(verts[:-1]) * (verts[-1] - 1))
+    assert tv_pairs == expected, (tv_pairs, expected)
+
     return TableShardingPlan(
-        ndev=n_devices, max_levels=max_levels, local_rows=local_rows, assign=assign,
-        res=res, sizes=sz, local_offsets=off, valid=valid, col_perm=col_perm,
+        ndev=n_devices, n_slots=S, local_rows=local_rows, slots=slots,
+        slot_level=slot_level, slot_lo=slot_lo, slot_len=slot_len,
+        slot_off=slot_off, scatter=scatter, tv_mask=tv_mask, tv_pairs=tv_pairs,
         n_levels=L, n_features=F, dim=d,
     )
 
@@ -109,13 +178,12 @@ def shard_table(table: np.ndarray, enc: HashGridEncoding, plan: TableShardingPla
     """Fused (total, F) table -> (ndev, local_rows, F) padded device shards."""
     table = np.asarray(table)
     out = np.zeros((plan.ndev, plan.local_rows, plan.n_features), dtype=table.dtype)
-    for dev, levels in enumerate(plan.assign):
+    for dev, dev_slots in enumerate(plan.slots):
         cursor = 0
-        for l in levels:
-            n = int(enc.level_sizes[l])
-            lo = int(enc.level_offsets[l])
-            out[dev, cursor : cursor + n] = table[lo : lo + n]
-            cursor += n
+        for l, start, length in dev_slots:
+            lo = int(enc.level_offsets[l]) + start
+            out[dev, cursor : cursor + length] = table[lo : lo + length]
+            cursor += length
     return out
 
 
@@ -123,61 +191,89 @@ def unshard_table(shards: np.ndarray, enc: HashGridEncoding, plan: TableSharding
     """Inverse of ``shard_table``."""
     shards = np.asarray(shards)
     out = np.zeros((enc.total_size, plan.n_features), dtype=shards.dtype)
-    for dev, levels in enumerate(plan.assign):
+    for dev, dev_slots in enumerate(plan.slots):
         cursor = 0
-        for l in levels:
-            n = int(enc.level_sizes[l])
-            lo = int(enc.level_offsets[l])
-            out[lo : lo + n] = shards[dev, cursor : cursor + n]
-            cursor += n
+        for l, start, length in dev_slots:
+            lo = int(enc.level_offsets[l]) + start
+            out[lo : lo + length] = shards[dev, cursor : cursor + length]
+            cursor += length
     return out
 
 
-def _local_level_features(plan: TableShardingPlan, consts, local_table, x, my):
-    """This device's (N, maxL*F) feature block. ``local_table``: (local_rows, F).
+def make_sharded_encode(
+    enc: HashGridEncoding, plan: TableShardingPlan, axis_name: str = "data"
+) -> Callable:
+    """Build ``encode(local_table, x) -> (N, L*F)`` for use INSIDE shard_map.
 
-    Geometry is data (indexed by ``my`` = axis_index), so one traced program
-    serves every device — the shard_map uniformity requirement.
+    Uses the oracle geometry (``corner_ids_and_weights``) so the sharded
+    features equal ``HashGridEncoding.apply`` up to summation order
+    (tests/test_sharded_table.py asserts allclose at 1e-6).
     """
-    d, C = plan.dim, 1 << plan.dim
-    res_c, sizes_c, off_c, valid_c = consts
-    my_res = res_c[my]          # (maxL, d)
-    my_sizes = sizes_c[my]      # (maxL,) uint32
-    my_off = off_c[my]          # (maxL,) int32
-    my_valid = valid_c[my]      # (maxL,)
-    primes = [np.uint32(p) for p in PRIMES[:d]]
-    feats = []
-    for j in range(plan.max_levels):
-        scaled = [x[:, k] * my_res[j, k] for k in range(d)]
-        xi = [s.astype(jnp.int32) for s in scaled]
-        xf = [s - i.astype(jnp.float32) for s, i in zip(scaled, xi)]
-        acc = None
-        for c in range(C):
-            h = None
-            w = None
-            for k in range(d):
-                t = (xi[k] + ((c >> k) & 1)).astype(jnp.uint32) * primes[k]
-                h = t if h is None else h ^ t
-                f = xf[k] if (c >> k) & 1 else 1.0 - xf[k]
-                w = f if w is None else w * f
-            idx = (h % my_sizes[j]).astype(jnp.int32) + my_off[j]
-            contrib = jnp.take(local_table, idx, axis=0) * w[:, None]
-            acc = contrib if acc is None else acc + contrib
-        feats.append(acc * my_valid[j])
-    return jnp.concatenate(feats, axis=-1)  # (N, maxL*F)
+    F, L, S = plan.n_features, plan.n_levels, plan.n_slots
+    slot_level = jnp.asarray(plan.slot_level)
+    slot_lo = jnp.asarray(plan.slot_lo.astype(np.int32))
+    slot_len = jnp.asarray(plan.slot_len.astype(np.int32))
+    slot_off = jnp.asarray(plan.slot_off.astype(np.int32))
+    scatter = jnp.asarray(plan.scatter)
+
+    def encode(local_table, x):
+        my = jax.lax.axis_index(axis_name)
+        n = x.shape[0]
+        ids, w = enc.corner_ids_and_weights(x)          # (n, L, C) global rows
+        ids_s = jnp.take(ids, slot_level[my], axis=-2)   # (n, S, C)
+        w_s = jnp.take(w, slot_level[my], axis=-2)
+        lo = slot_lo[my][None, :, None]
+        ln = slot_len[my][None, :, None]
+        off = slot_off[my][None, :, None]
+        rel = ids_s - lo
+        inb = (rel >= 0) & (rel < ln)
+        lidx = jnp.where(inb, rel, 0) + off
+        rows = jnp.take(local_table, lidx.reshape(-1), axis=0).reshape(n, S, 1 << plan.dim, F)
+        partial = jnp.einsum("nscf,nsc->nsf", rows, w_s * inb.astype(w_s.dtype))
+        gathered = jax.lax.all_gather(partial.reshape(n, S * F), axis_name)  # (ndev, n, S*F)
+        gath = jnp.moveaxis(gathered, 0, 1).reshape(n, plan.ndev * S, F)
+        feats = jnp.einsum("nkf,kl->nlf", gath, scatter)  # partial-sum + reorder
+        return feats.reshape(n, L * F)
+
+    return encode
+
+
+def sharded_encode_apply(
+    enc: HashGridEncoding,
+    plan: TableShardingPlan,
+    mesh: Mesh,
+    shards: jnp.ndarray,
+    x: jnp.ndarray,
+    axis_name: str = "data",
+) -> jnp.ndarray:
+    """Run the sharded encode end-to-end (shard_map wrapper): the distributed
+    equivalent of ``enc.apply({"table": t}, x)``."""
+    encode = make_sharded_encode(enc, plan, axis_name)
+    fn = shard_map(
+        lambda shards3, x: encode(shards3[0], x),  # strip the per-device lead axis
+        mesh=mesh, in_specs=(P(axis_name), P()), out_specs=P(), check_vma=False,
+    )
+    return jax.jit(fn)(shards, x)
 
 
 class ShardedHashTrainer:
-    """Fits a hashed-storage HashGrid encoder + plain ReLU decoder with the
-    table tensor-sharded over the mesh.
+    """Fits a ``make_hash_mlp`` model with its hash table tensor-sharded over
+    the mesh, composing the model's own init/decoder semantics.
 
-    The decoder mirrors ``make_hash_mlp(decoder="relu_plain")`` (the tcnn
-    FullyFusedMLP shape). Returns a TrainResult whose ``params`` carry the
-    UNSHARDED fused table, so standard single-device evaluation
-    (``infer.evaluate_grid`` on a ``make_hash_mlp`` model) applies directly.
+    Mirrors ``Trainer.fit`` (same RNG threading, shuffle/drop_last, loss
+    registry, freeze masks, grad accumulation, scalars stream, epoch
+    checkpoints); only the encoder forward/backward is distributed. Returns a
+    TrainResult whose ``params`` carry the UNSHARDED fused table in the
+    standard layout, so ``infer.evaluate_grid`` applies directly.
     """
 
-    def __init__(self, config: TrainConfig, mesh: Optional[Mesh] = None, axis_name: str = "data"):
+    def __init__(
+        self,
+        config: TrainConfig,
+        mesh: Optional[Mesh] = None,
+        axis_name: str = "data",
+        freeze_mask_fn: Optional[Callable] = None,
+    ):
         self.config = config
         self.axis = axis_name
         if mesh is None:
@@ -186,139 +282,188 @@ class ShardedHashTrainer:
             mesh = make_mesh(axis_name=axis_name)
         self.mesh = mesh
         self.ndev = mesh.devices.size
+        self.freeze_mask_fn = freeze_mask_fn
 
     def fit(
         self,
-        enc: HashGridEncoding,
+        model: Model,
         coords: np.ndarray,
         values: np.ndarray,
-        dim_hidden: int = 64,
-        n_layers: int = 2,
-        dim_out: int = 1,
-    ):
+        params=None,
+        state=None,
+    ) -> TrainResult:
         cfg = self.config
         axis = self.axis
-        plan = plan_level_sharding(enc, self.ndev)
+        enc: HashGridEncoding = model.hparams.get("encoder")
+        decode = model.hparams.get("decode")
+        if enc is None or decode is None:
+            raise ValueError(
+                "ShardedHashTrainer requires a make_hash_mlp-style model "
+                "(hparams must expose 'encoder' and 'decode')"
+            )
+        temporal_tv = float(model.hparams.get("temporal_tv", 0.0))
+        plan = plan_table_sharding(enc, self.ndev)
+
         n = len(coords)
         batch = min(cfg.batch_size, n)
-        steps_per_epoch = n // batch
+        steps_per_epoch = n // batch if cfg.drop_last else -(-n // batch)
         if steps_per_epoch == 0:
-            raise ValueError(f"batch {batch} exceeds dataset size {n}")
+            raise ValueError(f"batch_size {batch} exceeds dataset size {n}")
 
         key = jax.random.key(cfg.seed)
-        key, k_enc, k_dec = jax.random.split(key, 3)
-        table = enc.init(k_enc)["table"]
-        shards = jnp.asarray(shard_table(np.asarray(table), enc, plan))
-        widths = [enc.output_dim] + [dim_hidden] * (n_layers - 1) + [dim_out]
-        dkeys = jax.random.split(k_dec, n_layers)
-        dec = [dense_init(dkeys[i], widths[i], widths[i + 1]) for i in range(n_layers)]
+        if params is None:
+            key, k_init = jax.random.split(key)
+            params, state = model.init(k_init)
+        state = state if state is not None else {}
+        # Defensive copy: epoch buffers are donated, and caller-provided
+        # params must stay valid (two-phase protocol reuses phase-1 params).
+        dec_params = jax.tree.map(jnp.array, {k: v for k, v in params.items() if k != "encoder"})
+        state = jax.tree.map(jnp.array, state)
+        shards = jnp.asarray(shard_table(np.asarray(params["encoder"]["table"]), enc, plan))
 
-        # Separate transforms so optimizer state shards like its parameters:
-        # table moments live with the table shard (P(axis)), decoder moments
-        # are replicated.
         tx_tab = make_optimizer(cfg, steps_per_epoch)
         tx_dec = make_optimizer(cfg, steps_per_epoch)
+        if self.freeze_mask_fn is not None:
+            mask = self.freeze_mask_fn(params)
+            if not all(jax.tree.leaves(mask.get("encoder", True))):
+                tx_tab = optax.chain(optax.set_to_zero(), tx_tab)
+            dec_mask = {k: v for k, v in mask.items() if k != "encoder"}
+            tx_dec = optax.chain(
+                optax.masked(optax.set_to_zero(), jax.tree.map(lambda t: not t, dec_mask)),
+                tx_dec,
+            )
         base_loss = get_loss(cfg.loss)
-
-        consts = (
-            jnp.asarray(plan.res),
-            jnp.asarray(plan.sizes.astype(np.uint32)),
-            jnp.asarray(plan.local_offsets.astype(np.int32)),
-            jnp.asarray(plan.valid),
-        )
-        col_perm = jnp.asarray(plan.col_perm)
-        maxLF = plan.max_levels * plan.n_features
+        encode = make_sharded_encode(enc, plan, axis)
+        tv_mask_c = jnp.asarray(plan.tv_mask)
+        tv_count = max(plan.tv_pairs * plan.n_features, 1)
 
         coords_d = jnp.asarray(coords, jnp.float32)
         values_d = jnp.asarray(values, jnp.float32)
 
-        def decoder_apply(dec_params, z):
-            for i in range(n_layers):
-                z = dense(dec_params[i], z)
-                if i < n_layers - 1:
-                    z = jax.nn.relu(z)
-            return z
-
-        def encode(local_table, x, my):
-            mine = _local_level_features(plan, consts, local_table, x, my)  # (N, maxL*F)
-            allf = jax.lax.all_gather(mine, axis)                            # (ndev, N, maxL*F)
-            allf = jnp.moveaxis(allf, 0, 1).reshape(x.shape[0], plan.ndev * maxLF)
-            return jnp.take(allf, col_perm, axis=-1)                         # logical level order
-
-        def epoch_shard(local_table3, dec_params, tab_opt3, dec_opt, epoch_key):
-            # local_table3: this device's (1, local_rows, F) shard
-            local_table = local_table3[0]
+        def epoch_shard(shards3, dec_params, state, tab_opt3, dec_opt, epoch_key):
+            local_table = shards3[0]
             tab_opt = jax.tree.map(lambda a: a[0], tab_opt3)
             my = jax.lax.axis_index(axis)
-            perm_key, _ = jax.random.split(epoch_key)
-            perm = jax.random.permutation(perm_key, n)  # same on all devices
+            # RNG threading mirrors Trainer.epoch_fn exactly, so a sharded fit
+            # visits the same batches (and dropout masks) as the reference fit.
+            if cfg.shuffle:
+                perm_key, step_key0 = jax.random.split(epoch_key)
+                perm = jax.random.permutation(perm_key, n)
+            else:
+                step_key0 = epoch_key
+                perm = jnp.arange(n)
+            pad = steps_per_epoch * batch - n
+            if pad > 0:
+                perm = jnp.concatenate([perm, perm[:pad]])
             idx = perm[: steps_per_epoch * batch].reshape(steps_per_epoch, batch)
 
             def body(carry, batch_idx):
-                local_table, dec_params, tab_opt, dec_opt = carry
+                local_table, dec_params, state, tab_opt, dec_opt, k = carry
+                k, k_step = jax.random.split(k)
                 xb = jnp.take(coords_d, batch_idx, axis=0)
                 yb = jnp.take(values_d, batch_idx, axis=0)
 
                 def loss_fn(local_table, dec_params):
-                    z = encode(local_table, xb, my)
-                    return base_loss(decoder_apply(dec_params, z), yb)
+                    z = encode(local_table, xb)
+                    y_pred, new_state = decode(dec_params, state, z, train=True, rng=k_step)
+                    loss = base_loss(y_pred, yb)
+                    if temporal_tv > 0.0:
+                        # Device-local exact decomposition of
+                        # encodings.temporal_table_tv: split boundaries are
+                        # time-line aligned, so every adjacent pair is local.
+                        diff2 = (local_table[1:] - local_table[:-1]) ** 2
+                        tv_local = jnp.sum(diff2 * tv_mask_c[my][: local_table.shape[0] - 1, None])
+                        loss = loss + temporal_tv * jax.lax.psum(tv_local, axis) / tv_count
+                    return loss, new_state
 
-                loss, (g_tab, g_dec) = jax.value_and_grad(loss_fn, argnums=(0, 1))(
-                    local_table, dec_params
-                )
+                (loss, new_state), (g_tab, g_dec) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(local_table, dec_params)
                 # Decoder compute is replicated with identical inputs -> its
                 # grads are already identical on every device (no pmean);
-                # table grads are local by construction (the all_gather
-                # transpose routed each feature-grad slice to its owner).
+                # table grads are local (the all_gather transpose routed each
+                # feature-grad slice back to its owner).
                 u_tab, tab_opt = tx_tab.update(g_tab, tab_opt, local_table)
                 u_dec, dec_opt = tx_dec.update(g_dec, dec_opt, dec_params)
                 local_table = optax.apply_updates(local_table, u_tab)
                 dec_params = optax.apply_updates(dec_params, u_dec)
-                return (local_table, dec_params, tab_opt, dec_opt), loss
+                return (local_table, dec_params, new_state, tab_opt, dec_opt, k), loss
 
-            (local_table, dec_params, tab_opt, dec_opt), losses = jax.lax.scan(
-                body, (local_table, dec_params, tab_opt, dec_opt), idx
+            (local_table, dec_params, state, tab_opt, dec_opt, _), losses = jax.lax.scan(
+                body, (local_table, dec_params, state, tab_opt, dec_opt, step_key0), idx
             )
-            return (local_table[None], dec_params,
-                    jax.tree.map(lambda a: a[None], tab_opt), dec_opt, losses)
+            return (
+                local_table[None],
+                dec_params,
+                state,
+                jax.tree.map(lambda a: a[None], tab_opt),
+                dec_opt,
+                losses,
+            )
 
         tab_opt = jax.vmap(tx_tab.init)(shards)  # leading ndev axis, sharded
-        dec_opt = tx_dec.init(dec)
+        dec_opt = tx_dec.init(dec_params)
 
         smap = shard_map(
             epoch_shard,
             mesh=self.mesh,
-            in_specs=(P(axis), P(), P(axis), P(), P()),
-            out_specs=(P(axis), P(), P(axis), P(), P()),
+            in_specs=(P(axis), P(), P(), P(axis), P(), P()),
+            out_specs=(P(axis), P(), P(), P(axis), P(), P()),
             check_vma=False,
         )
-        epoch_jit = jax.jit(smap, donate_argnums=(0, 1, 2, 3))
+        epoch_jit = jax.jit(smap, donate_argnums=(0, 1, 2, 3, 4))
 
         shard_spec = NamedSharding(self.mesh, P(axis))
         repl = NamedSharding(self.mesh, P())
         shards = jax.device_put(shards, shard_spec)
-        dec = jax.device_put(dec, repl)
+        dec_params = jax.device_put(dec_params, repl)
+        state = jax.device_put(state, repl)
         tab_opt = jax.device_put(tab_opt, jax.tree.map(lambda _: shard_spec, tab_opt))
         dec_opt = jax.device_put(dec_opt, repl)
 
+        logger = None
+        if cfg.log_jsonl:
+            from ..train.scalars import ScalarLogger
+
+            logger = ScalarLogger(cfg.log_jsonl)
+
+        def _full_params(shards, dec_params):
+            table = unshard_table(np.asarray(jax.device_get(shards)), enc, plan)
+            return {"encoder": {"table": jnp.asarray(table)}, **jax.device_get(dec_params)}
+
         all_losses, epoch_times = [], []
         t0 = time.perf_counter()
-        for _ in range(cfg.epochs):
+        for e in range(cfg.epochs):
             key, ek = jax.random.split(key)
             te = time.perf_counter()
-            shards, dec, tab_opt, dec_opt, losses = epoch_jit(shards, dec, tab_opt, dec_opt, ek)
+            shards, dec_params, state, tab_opt, dec_opt, losses = epoch_jit(
+                shards, dec_params, state, tab_opt, dec_opt, ek
+            )
             jax.block_until_ready(losses)
             epoch_times.append(time.perf_counter() - te)
             all_losses.append(losses)
+            if logger is not None:
+                logger.log_epoch_losses(e, e * steps_per_epoch, np.asarray(losses))
+            if (
+                cfg.checkpoint_dir
+                and cfg.checkpoint_every_epochs > 0
+                and (e + 1) % cfg.checkpoint_every_epochs == 0
+            ):
+                from ..train.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    cfg.checkpoint_dir, (e + 1) * steps_per_epoch,
+                    _full_params(shards, dec_params), jax.device_get(state),
+                )
+        if logger is not None:
+            logger.close()
         wall = time.perf_counter() - t0
 
-        table_full = unshard_table(np.asarray(jax.device_get(shards)), enc, plan)
-        params = {"encoder": {"table": jnp.asarray(table_full)}, "layers": jax.device_get(dec)}
         losses_np = np.concatenate([np.asarray(l) for l in all_losses])
         total_steps = cfg.epochs * steps_per_epoch
         return TrainResult(
-            params=params,
-            state={},
+            params=_full_params(shards, dec_params),
+            state=jax.device_get(state),
             opt_state=(tab_opt, dec_opt),
             losses=losses_np,
             wall_time_s=wall,

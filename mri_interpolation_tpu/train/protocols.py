@@ -21,7 +21,7 @@ from ..metrics import evaluate_reconstruction
 from ..models.core import Model
 from .trainer import TrainConfig, Trainer, TrainResult
 
-__all__ = ["two_phase_hash_fit", "even_frame_fit_eval", "key_frame_subset"]
+__all__ = ["two_phase_hash_fit", "even_frame_fit_eval", "key_frame_subset", "undersampled_fit_eval"]
 
 
 def key_frame_subset(
@@ -96,3 +96,42 @@ def even_frame_fit_eval(
         jax.numpy.asarray(odd_pred[..., : odd_img.shape[-1]]), jax.numpy.asarray(odd_img), data_range=rng
     )
     return result, {"full": full_q, "odd": odd_q}
+
+
+def undersampled_fit_eval(
+    model: Model,
+    image: np.ndarray,
+    percentage: float,
+    config: TrainConfig,
+    zero_centered: bool = False,
+    mask_seed: int = 0,
+) -> Tuple[TrainResult, dict]:
+    """Sparse-acquisition protocol: fit from ``percentage``% randomly-kept
+    voxels (``utils.create_rn_mask`` — parity: reference utils.py:91-104, the
+    mask's stated purpose), reconstruct the FULL grid, and report quality vs
+    the full volume alongside the zero-filled baseline (kept voxels as-is,
+    missing voxels at the background level).
+
+    Returns (result, {"recon": metrics, "zero_filled": metrics,
+    "kept_fraction": f}).
+    """
+    from ..utils.imaging import create_rn_mask
+
+    lo = -1.0 if zero_centered else 0.0
+    mask, kept = create_rn_mask(image.shape, percentage, key=mask_seed)
+    coords = flat_coords(image.shape, lo=lo)[kept]
+    values = image.reshape(-1, 1)[kept]
+
+    result = Trainer(config).fit(model, coords, values)
+    recon = evaluate_grid(model, result.params, result.state, image.shape, lo=lo)
+    rng = 2.0 if zero_centered else 1.0
+    q = evaluate_reconstruction(jax.numpy.asarray(recon), jax.numpy.asarray(image), data_range=rng)
+    zero_filled = image * mask.reshape(image.shape) + lo * (1.0 - mask.reshape(image.shape))
+    zf_q = evaluate_reconstruction(
+        jax.numpy.asarray(zero_filled), jax.numpy.asarray(image), data_range=rng
+    )
+    return result, {
+        "recon": q,
+        "zero_filled": zf_q,
+        "kept_fraction": float(len(kept)) / float(np.prod(image.shape)),
+    }

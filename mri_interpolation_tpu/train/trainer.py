@@ -61,6 +61,10 @@ class TrainConfig:
     # Epoch-boundary checkpoints (Lightning auto-saves per epoch). 0 disables.
     checkpoint_dir: Optional[str] = None
     checkpoint_every_epochs: int = 0
+    # Periodic eval metrics (PSNR etc.) streamed into the scalars JSONL next
+    # to train_loss, so convergence curves are plottable from artifacts.
+    # 0 disables; used with Trainer.fit(eval_fn=...).
+    eval_every_epochs: int = 0
 
 
 @dataclass
@@ -91,6 +95,14 @@ class TrainResult:
             return self.steps_per_sec
         steady = float(np.median(self.epoch_times_s[1:]))
         steps_per_epoch = self.steps / len(self.epoch_times_s)
+        # Sanity cross-check: when non-blocking-dispatch stretches cover MORE
+        # than half the epochs the median itself is near-zero and the derived
+        # rate is nonsense. Detect that (median far below the post-compile
+        # mean) and fall back to the honest total-wall rate instead of
+        # silently inflating.
+        mean = float(np.mean(self.epoch_times_s[1:]))
+        if steady < 0.2 * mean:
+            steady = mean
         return float(steps_per_epoch / max(steady, 1e-9))
 
 
@@ -166,7 +178,11 @@ class Trainer:
         params=None,
         state=None,
         donate: bool = True,
+        eval_fn: Optional[Callable] = None,
     ) -> TrainResult:
+        """``eval_fn(params, state) -> {tag: value}``: optional periodic eval
+        metrics (every ``cfg.eval_every_epochs`` epochs), streamed into the
+        scalars JSONL so convergence curves are plottable from artifacts."""
         cfg = self.config
         n = len(coords)
         batch = min(cfg.batch_size, n)
@@ -240,6 +256,14 @@ class Trainer:
             all_losses.append(losses)
             if logger is not None:
                 logger.log_epoch_losses(e, e * steps_per_epoch, np.asarray(losses))
+            if (
+                eval_fn is not None
+                and logger is not None
+                and cfg.eval_every_epochs > 0
+                and (e + 1) % cfg.eval_every_epochs == 0
+            ):
+                for tag, value in eval_fn(params, state).items():
+                    logger.log((e + 1) * steps_per_epoch, tag, float(value), epoch=e)
             if (
                 cfg.checkpoint_dir
                 and cfg.checkpoint_every_epochs > 0

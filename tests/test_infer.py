@@ -137,3 +137,55 @@ class TestServingExport:
         vol = load_evaluator(path)()
         assert vol.shape == (6, 7)
         assert np.isfinite(vol).all()
+
+
+class TestHashModelGridEval:
+    """The hash families route through the hoisted encode/decode split in
+    evaluate_grid (the dense cell-view is built once per call, not per
+    chunk) — outputs must equal the plain model.apply path."""
+
+    def _model(self):
+        from mri_interpolation_tpu.models import make_hash_mlp
+
+        return make_hash_mlp(
+            dim_in=3, n_levels=4, n_features_per_level=2, log2_hashmap_size=10,
+            base_resolution=(4, 4, 2), finest_resolution=(24, 24, 12),
+            dim_hidden=16, n_layers=2, decoder="relu_plain", fused="off")
+
+    def test_hoisted_path_matches_direct_apply(self):
+        model = self._model()
+        params, state = model.init(jax.random.key(0))
+        shape = (9, 10, 11)
+        vol = evaluate_grid(model, params, state, shape, chunk_size=128)
+        coords = flat_coords(shape)
+        direct, _ = model.apply(params, state, jnp.asarray(coords))
+        np.testing.assert_allclose(vol.reshape(-1, 1), np.asarray(direct), atol=1e-6)
+
+    def test_return_latents(self):
+        """Latent capture parity: reference predict_step collects encoder
+        features during prediction (models.py:640-646,746-751)."""
+        model = self._model()
+        enc = model.hparams["encoder"]
+        params, state = model.init(jax.random.key(1))
+        shape = (6, 7, 5)
+        vol, lat = evaluate_grid(model, params, state, shape, chunk_size=64,
+                                 return_latents=True)
+        assert vol.shape == shape
+        assert lat.shape == shape + (enc.output_dim,)
+        coords = flat_coords(shape)
+        want = np.asarray(enc.apply(params["encoder"], jnp.asarray(coords)))
+        np.testing.assert_allclose(lat.reshape(-1, enc.output_dim), want, atol=1e-6)
+
+    def test_return_latents_requires_split_model(self):
+        model = make_siren(dim_in=3, dim_hidden=8, n_layers=2)
+        params, state = model.init(jax.random.key(0))
+        with pytest.raises(ValueError, match="encode/decode"):
+            evaluate_grid(model, params, state, (4, 4, 4), return_latents=True)
+
+    def test_predict_batched_hoisted_matches_apply(self):
+        model = self._model()
+        params, state = model.init(jax.random.key(2))
+        coords = flat_coords((7, 7, 6))
+        got = predict_batched(model, params, state, coords, chunk_size=100)
+        want, _ = model.apply(params, state, jnp.asarray(coords))
+        np.testing.assert_allclose(got, np.asarray(want), atol=1e-6)

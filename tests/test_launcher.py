@@ -217,6 +217,26 @@ class TestFigures:
         assert os.path.exists(out["grid"])
         assert os.path.exists(out["gif"])
 
+    def test_figures_with_latents_and_convergence(self, tiny_volume_path, tmp_path):
+        from mri_interpolation_tpu.figures import make_figures
+
+        cfg = RunConfig(
+            image_path=tiny_volume_path, model_class="hash_mlp", batch_size=200,
+            epochs=2, dim_hidden=8, n_layers=2, n_levels=2, log2_hashmap_size=8,
+            interp_shapes=(), output_root=str(tmp_path / "runs"),
+            save_checkpoint=False, save_latents=True, eval_every_epochs=1,
+        )
+        summary = run(cfg)
+        rd = summary["run_dir"]
+        assert os.path.exists(os.path.join(rd, "latents.nii.gz"))
+        from mri_interpolation_tpu.train import read_scalars
+
+        psnrs = read_scalars(os.path.join(rd, "scalars.jsonl"), tag="psnr")
+        assert len(psnrs) == 2
+        out = make_figures(rd)
+        assert os.path.exists(out["latents"])
+        assert os.path.exists(out["convergence"])
+
 
 class TestTupleFlags:
     def test_parse_tuple_flag_forms(self):

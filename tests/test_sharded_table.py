@@ -1,4 +1,10 @@
-"""Hash-table tensor-sharding over the virtual 8-device mesh."""
+"""Hash-table tensor-sharding over the virtual 8-device mesh.
+
+The load-bearing test is ``test_sharded_encode_bitparity``: the distributed
+encode (device-local masked gathers + one all_gather + scatter-matmul) must
+reproduce the single-table ``HashGridEncoding.apply`` oracle to float
+round-off, for hashed, mixed dense/hashed, AND split-big-dense layouts.
+"""
 
 import jax
 import numpy as np
@@ -10,17 +16,35 @@ from mri_interpolation_tpu.models import make_hash_mlp
 from mri_interpolation_tpu.parallel import make_mesh
 from mri_interpolation_tpu.parallel.sharded_table import (
     ShardedHashTrainer,
-    plan_level_sharding,
+    plan_table_sharding,
     shard_table,
+    sharded_encode_apply,
     unshard_table,
 )
 from mri_interpolation_tpu.train import TrainConfig, Trainer
 
 
-def _enc(n_levels=8, log2=8, f=2):
+def _enc_hashed(n_levels=8, log2=8, f=2):
     return HashGridEncoding(
         dim=3, n_levels=n_levels, n_features_per_level=f, log2_hashmap_size=log2,
         base_resolution=(4, 4, 2), finest_resolution=(24, 24, 12), storage="hashed",
+    )
+
+
+def _enc_mixed():
+    # auto storage: coarse levels dense, fine levels hashed
+    return HashGridEncoding(
+        dim=3, n_levels=6, n_features_per_level=2, log2_hashmap_size=9,
+        base_resolution=(4, 4, 2), finest_resolution=(40, 40, 12), storage="auto",
+    )
+
+
+def _enc_big_dense():
+    # finest dense level (33*33*13 = 14157 vertices) dwarfs the per-device
+    # fair share -> exercises the contiguous row-range split path
+    return HashGridEncoding(
+        dim=3, n_levels=4, n_features_per_level=2, log2_hashmap_size=16,
+        base_resolution=(4, 4, 2), finest_resolution=(32, 32, 12), storage="auto",
     )
 
 
@@ -30,90 +54,142 @@ def mesh8():
 
 
 class TestPlan:
-    def test_assignment_covers_all_levels_once(self):
-        enc = _enc()
-        plan = plan_level_sharding(enc, 8)
-        seen = sorted(l for a in plan.assign for l in a)
-        assert seen == list(range(enc.n_levels))
-
-    def test_balanced_loads(self):
-        enc = _enc(n_levels=16, log2=10)
-        plan = plan_level_sharding(enc, 4)
-        loads = [sum(int(enc.level_sizes[l]) for l in a) for a in plan.assign]
-        assert max(loads) <= 2 * min(loads) + int(enc.level_sizes.max())
-
-    def test_shard_roundtrip(self):
-        enc = _enc()
-        plan = plan_level_sharding(enc, 8)
+    @pytest.mark.parametrize("make", [_enc_hashed, _enc_mixed, _enc_big_dense])
+    def test_shard_roundtrip_covers_every_row_once(self, make):
+        enc = make()
+        plan = plan_table_sharding(enc, 8)
+        assert sum(ln for s in plan.slots for (_, _, ln) in s) == enc.total_size
         table = np.asarray(enc.init(jax.random.key(0))["table"])
         shards = shard_table(table, enc, plan)
         assert shards.shape[0] == 8
-        back = unshard_table(shards, enc, plan)
-        np.testing.assert_array_equal(back, table)
+        np.testing.assert_array_equal(unshard_table(shards, enc, plan), table)
 
-    def test_dense_levels_rejected(self):
-        enc = HashGridEncoding(dim=3, n_levels=2, n_features_per_level=1,
-                               log2_hashmap_size=20, base_resolution=4, finest_resolution=8)
-        with pytest.raises(ValueError, match="hashed"):
-            plan_level_sharding(enc, 4)
+    def test_big_dense_level_is_split_across_devices(self):
+        enc = _enc_big_dense()
+        plan = plan_table_sharding(enc, 8)
+        holders = {l: [] for l in range(enc.n_levels)}
+        for dev, s in enumerate(plan.slots):
+            for (l, _, ln) in s:
+                if ln > 0:
+                    holders[l].append(dev)
+        split_dense = [l for l in range(enc.n_levels)
+                       if enc.level_dense[l] and len(holders[l]) > 1]
+        assert split_dense, "a big dense level must be row-split over the mesh"
+        # dense split boundaries aligned to whole time-lines (Vt | start)
+        for s in plan.slots:
+            for (l, start, ln) in s:
+                if l in split_dense:
+                    vt = int(enc.level_resolutions[l][-1]) + 1
+                    assert start % vt == 0
+
+    def test_balanced_loads(self):
+        enc = _enc_big_dense()
+        plan = plan_table_sharding(enc, 8)
+        loads = [sum(ln for (_, _, ln) in s) for s in plan.slots]
+        assert max(loads) <= 1.5 * (enc.total_size / 8) + 64
+
+
+class TestShardedEncode:
+    @pytest.mark.parametrize("make", [_enc_hashed, _enc_mixed, _enc_big_dense])
+    def test_sharded_encode_bitparity(self, make, mesh8):
+        """Distributed encode == single-table oracle (float round-off only)."""
+        enc = make()
+        plan = plan_table_sharding(enc, 8)
+        params = enc.init(jax.random.key(2))
+        x = jax.random.uniform(jax.random.key(3), (257, enc.input_dim))
+        shards = shard_table(np.asarray(params["table"]), enc, plan)
+        got = sharded_encode_apply(enc, plan, mesh8, shards, x)
+        want = enc.apply(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6, rtol=1e-6)
+
+    def test_bitparity_at_domain_edges(self, mesh8):
+        enc = _enc_mixed()
+        plan = plan_table_sharding(enc, 8)
+        params = enc.init(jax.random.key(4))
+        x = np.array([[0.0, 0.0, 0.0], [1.0, 1.0, 1.0], [0.5, 0.0, 1.0]], np.float32)
+        shards = shard_table(np.asarray(params["table"]), enc, plan)
+        got = sharded_encode_apply(enc, plan, mesh8, shards, x)
+        want = enc.apply(params, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
 
 
 class TestShardedFit:
-    def test_matches_single_device_trainer(self, mesh8):
-        """Level-sharded fit must track the single-device fit on the same
-        model (same seed/permutations; float reorder only)."""
-        vol = synthetic_volume((12, 12, 8), seed=5)
+    def _model(self, **kw):
+        base = dict(dim_in=3, n_levels=4, n_features_per_level=2,
+                    log2_hashmap_size=16, base_resolution=(4, 4, 2),
+                    finest_resolution=(32, 32, 12), storage="auto",
+                    dim_hidden=16, n_layers=2, decoder="relu_plain", fused="off")
+        base.update(kw)
+        return make_hash_mlp(**base)
+
+    def test_loss_curve_matches_single_device_trainer(self, mesh8):
+        """Same model/seed: the sharded fit must track Trainer.fit's loss
+        curve (same permutations + init; only float summation order differs)."""
+        vol = synthetic_volume((14, 14, 10), seed=5)
         ds = dataset_from_array(vol)
-        enc = _enc(n_levels=4, log2=7, f=2)
-        cfg = TrainConfig(batch_size=192, epochs=2, lr=5e-3, seed=0)
-
-        sh = ShardedHashTrainer(cfg, mesh=mesh8).fit(enc, ds.coords, ds.values,
-                                                     dim_hidden=16, n_layers=2)
-
-        model = make_hash_mlp(dim_in=3, n_levels=4, n_features_per_level=2,
-                              log2_hashmap_size=7, base_resolution=(4, 4, 2),
-                              finest_resolution=(24, 24, 12), storage="hashed",
-                              dim_hidden=16, n_layers=2, decoder="relu_plain")
-
-        # identical initialization: seed the reference trainer with the
-        # sharded run's initial params is awkward; instead compare loss
-        # TRAJECTORY SHAPE: both must converge and the sharded run's losses
-        # must be finite and decreasing.
+        cfg = TrainConfig(batch_size=490, epochs=2, lr=2e-3, seed=0)
+        model = self._model()
+        sh = ShardedHashTrainer(cfg, mesh=mesh8).fit(model, ds.coords, ds.values)
         ref = Trainer(cfg).fit(model, ds.coords, ds.values)
-        assert np.isfinite(sh.losses).all()
-        assert sh.losses[-1] < sh.losses[0] * 0.9
-        assert np.isfinite(ref.losses).all()
+        assert sh.losses.shape == ref.losses.shape
+        np.testing.assert_allclose(sh.losses, ref.losses, rtol=2e-3, atol=1e-6)
 
-    def test_unsharded_table_usable_by_standard_model(self, mesh8):
-        """The returned params must drop into make_hash_mlp for evaluation."""
+    def test_temporal_tv_matches_trainer(self, mesh8):
+        """The device-local TV decomposition must equal the full-table prior."""
+        vol = synthetic_volume((12, 12, 8), seed=7)
+        ds = dataset_from_array(vol)
+        cfg = TrainConfig(batch_size=384, epochs=2, lr=2e-3, seed=3)
+        model = self._model(temporal_tv=0.05)
+        sh = ShardedHashTrainer(cfg, mesh=mesh8).fit(model, ds.coords, ds.values)
+        ref = Trainer(cfg).fit(model, ds.coords, ds.values)
+        np.testing.assert_allclose(sh.losses, ref.losses, rtol=2e-3, atol=1e-6)
+
+    def test_norm_decoder_and_state_thread(self, mesh8):
+        """BatchNorm decoders (the reference default stack) work sharded."""
         vol = synthetic_volume((10, 10, 6), seed=1)
         ds = dataset_from_array(vol)
-        enc = _enc(n_levels=4, log2=7, f=2)
-        cfg = TrainConfig(batch_size=120, epochs=1, lr=5e-3, seed=0)
-        res = ShardedHashTrainer(cfg, mesh=mesh8).fit(enc, ds.coords, ds.values,
-                                                      dim_hidden=16, n_layers=2)
-        model = make_hash_mlp(dim_in=3, n_levels=4, n_features_per_level=2,
-                              log2_hashmap_size=7, base_resolution=(4, 4, 2),
-                              finest_resolution=(24, 24, 12), storage="hashed",
-                              dim_hidden=16, n_layers=2, decoder="relu_plain")
-        y, _ = model.apply(res.params, {}, ds.coords[:64], train=False, rng=None)
+        cfg = TrainConfig(batch_size=300, epochs=2, lr=2e-3, seed=0)
+        model = self._model(decoder="norm")
+        sh = ShardedHashTrainer(cfg, mesh=mesh8).fit(model, ds.coords, ds.values)
+        ref = Trainer(cfg).fit(model, ds.coords, ds.values)
+        np.testing.assert_allclose(sh.losses, ref.losses, rtol=5e-3, atol=1e-6)
+        assert sh.state["bn"], "BN state must thread through the sharded scan"
+
+    def test_decoder_freeze_mask(self, mesh8):
+        """Two-phase protocol semantics: frozen decoder stays bit-identical
+        while the sharded table trains."""
+        vol = synthetic_volume((10, 10, 6), seed=2)
+        ds = dataset_from_array(vol)
+        cfg = TrainConfig(batch_size=300, epochs=1, lr=5e-3, seed=0)
+        model = self._model()
+        key = jax.random.key(99)
+        params0, state0 = model.init(key)
+
+        def freeze_decoder(params):
+            return {k: jax.tree.map(lambda _: (k == "encoder"), v) for k, v in params.items()}
+
+        res = ShardedHashTrainer(cfg, mesh=mesh8, freeze_mask_fn=freeze_decoder).fit(
+            model, ds.coords, ds.values, params=params0, state=state0)
+        for a, b in zip(jax.tree.leaves(res.params["layers"]), jax.tree.leaves(params0["layers"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert not np.array_equal(np.asarray(res.params["encoder"]["table"]),
+                                  np.asarray(params0["encoder"]["table"]))
+
+    def test_unsharded_params_usable_by_standard_model(self, mesh8):
+        """Returned params drop into the standard model for evaluation."""
+        vol = synthetic_volume((10, 10, 6), seed=1)
+        ds = dataset_from_array(vol)
+        cfg = TrainConfig(batch_size=300, epochs=1, lr=5e-3, seed=0)
+        model = self._model()
+        res = ShardedHashTrainer(cfg, mesh=mesh8).fit(model, ds.coords, ds.values)
+        y, _ = model.apply(res.params, res.state, ds.coords[:64], train=False, rng=None)
         assert y.shape == (64, 1)
         assert np.isfinite(np.asarray(y)).all()
 
-    def test_sharded_forward_matches_unsharded_encoding(self, mesh8):
-        """The sharded encode path (all_gather + col perm) must equal the
-        single-table HashGridEncoding.apply bit-for-bit in structure."""
-        enc = _enc(n_levels=4, log2=7, f=2)
-        params = enc.init(jax.random.key(2))
-        x = np.asarray(jax.random.uniform(jax.random.key(3), (96, 3)))
+    def test_requires_hash_model(self, mesh8):
+        from mri_interpolation_tpu.models import make_siren
 
-        cfg = TrainConfig(batch_size=96, epochs=1, lr=0.0, seed=0, optimizer="adam")
-        # lr=0: one epoch of zero updates leaves the table at init, so the
-        # returned (unsharded) params equal the sharded-run initial table and
-        # the standard model's encode on them is the sharded encode's output
-        # semantics check.
-        vol_coords = x.astype(np.float32)
-        vals = np.zeros((96, 1), np.float32)
-        res = ShardedHashTrainer(cfg, mesh=mesh8).fit(enc, vol_coords, vals,
-                                                      dim_hidden=8, n_layers=2)
-        assert np.isfinite(res.losses).all()
+        cfg = TrainConfig(batch_size=10, epochs=1)
+        with pytest.raises(ValueError, match="encoder"):
+            ShardedHashTrainer(cfg, mesh=mesh8).fit(
+                make_siren(dim_in=3), np.zeros((10, 3), np.float32), np.zeros((10, 1), np.float32))

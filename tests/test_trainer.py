@@ -224,3 +224,25 @@ class TestTemporalTV:
         tv_reg = float(temporal_table_tv(enc, r_tv.params["encoder"]["table"]))
         assert tv_reg < tv_plain
         assert np.isfinite(r_tv.losses).all()
+
+
+class TestEvalScalars:
+    def test_eval_fn_streams_psnr(self, tmp_path, small_dataset):
+        """Per-epoch eval metrics land in scalars.jsonl next to train_loss
+        (VERDICT r2 Next #9)."""
+        from mri_interpolation_tpu.train import read_scalars
+
+        log = str(tmp_path / "scalars.jsonl")
+        model = make_siren(dim_in=3, dim_hidden=8, n_layers=2)
+        cfg = TrainConfig(batch_size=512, epochs=3, lr=1e-3, seed=0,
+                          log_jsonl=log, eval_every_epochs=2)
+        calls = []
+
+        def eval_fn(params, state):
+            calls.append(1)
+            return {"psnr": 30.0 + len(calls)}
+
+        Trainer(cfg).fit(model, small_dataset.coords, small_dataset.values, eval_fn=eval_fn)
+        recs = read_scalars(log, tag="psnr")
+        assert len(recs) == 1 == len(calls)  # epochs=3, every 2 -> after epoch 2
+        assert recs[0]["value"] == 31.0

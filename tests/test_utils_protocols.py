@@ -167,3 +167,44 @@ class TestProfiling:
 
         ms = time_fn(lambda x: x @ x, jnp.ones((128, 128)), iters=3)
         assert ms > 0
+
+
+class TestUndersampledProtocol:
+    def test_fit_from_sparse_voxels_beats_zero_filled(self):
+        """Sparse-acquisition protocol (VERDICT r2 Next #7): fitting an INR
+        from 50% of voxels must reconstruct the full grid far better than the
+        zero-filled baseline."""
+        from mri_interpolation_tpu.io import synthetic_volume
+        from mri_interpolation_tpu.models import make_hash_mlp
+        from mri_interpolation_tpu.train import TrainConfig
+        from mri_interpolation_tpu.train.protocols import undersampled_fit_eval
+
+        vol = synthetic_volume((16, 16, 8), seed=3)
+        vol = (vol - vol.min()) / (vol.max() - vol.min())  # [0,1] like load_volume
+        model = make_hash_mlp(
+            dim_in=3, n_levels=3, n_features_per_level=2, log2_hashmap_size=10,
+            base_resolution=(4, 4, 2), finest_resolution=(16, 16, 8),
+            dim_hidden=16, n_layers=2, decoder="relu_plain", fused="off")
+        cfg = TrainConfig(batch_size=256, epochs=200, lr=5e-3, seed=0,
+                          lr_schedule="cosine", cosine_t_max=200)
+        _, report = undersampled_fit_eval(model, vol, percentage=50.0, config=cfg)
+        assert 0.4 < report["kept_fraction"] < 0.6
+        assert report["recon"]["psnr"] > report["zero_filled"]["psnr"] + 3.0
+
+    def test_launcher_undersample_flag(self, tmp_path):
+        from mri_interpolation_tpu.configs import RunConfig
+        from mri_interpolation_tpu.io import nifti, synthetic_volume
+        from mri_interpolation_tpu.launcher import run
+
+        vol_path = str(tmp_path / "vol.nii.gz")
+        nifti.save(synthetic_volume((10, 10, 6), seed=1).astype("float32"), vol_path)
+        cfg = RunConfig(
+            image_path=vol_path, model_class="hash_mlp", batch_size=200, epochs=1,
+            dim_hidden=8, n_layers=2, n_levels=2, log2_hashmap_size=8,
+            interp_shapes=(), output_root=str(tmp_path / "runs"),
+            save_checkpoint=False, undersample_pct=30.0,
+        )
+        summary = run(cfg)
+        # 30% of 600 voxels, one batch of <=200 -> steps reflect the subset
+        assert summary["steps"] >= 1
+        assert np.isfinite(summary["psnr"])
