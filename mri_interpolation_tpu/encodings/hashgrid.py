@@ -379,6 +379,60 @@ class HashGridEncoding:
         return out.reshape(*lead, self.output_dim)
 
     # ------------------------------------------------------------------
+    # grid-aligned separable fast path (dense levels, regular output grids)
+
+    def supports_grid_path(self) -> bool:
+        """True when every level is dense — the separable regular-grid
+        evaluation covers the whole encoding."""
+        return bool(self.level_dense.all())
+
+    def apply_grid(self, params, out_shape: Sequence[int], lo: float = 0.0, hi: float = 1.0):
+        """Encode a REGULAR axis-aligned grid: (prod(out_shape), L*F).
+
+        Multilinear interpolation on a regular output grid is SEPARABLE: each
+        dense level's vertex grid is resampled one axis at a time (two slab
+        gathers + a lerp per axis) — O(grid) sequential traffic instead of
+        O(grid * 2^d) random per-voxel gathers. Matches ``apply`` on the same
+        coordinates to float round-off (tests/test_encodings.py); the
+        dense-grid inference path (infer/grid.py) dispatches here.
+
+        Requires all-dense storage (``supports_grid_path``) and the [0, 1]
+        coordinate convention the hash models train with.
+        """
+        if not self.supports_grid_path():
+            raise ValueError("apply_grid requires all-dense storage")
+        d, F = self.input_dim, self.n_features_per_level
+        out_shape = tuple(int(s) for s in out_shape)
+        if len(out_shape) != d:
+            raise ValueError(f"grid rank {len(out_shape)} != encoder dim {d}")
+        table = params["table"]
+        n = int(np.prod(out_shape))
+        feats = []
+        for l in range(self.n_levels):
+            res = self.level_resolutions[l]
+            verts = tuple(int(r) + 1 for r in res)
+            g = table[int(self.level_offsets[l]) : int(self.level_offsets[l + 1])]
+            g = g.reshape(*verts, F)
+            for k in range(d):
+                # same arithmetic as _level_xi_xf on flat_index_to_coords
+                # output: x = lo + (hi-lo) * i/(S-1); scaled = x * res
+                denom = max(out_shape[k] - 1, 1)
+                x = lo + (hi - lo) * (
+                    jnp.arange(out_shape[k], dtype=jnp.float32) / np.float32(denom)
+                )
+                scaled = x * float(res[k])
+                xi = jnp.clip(scaled.astype(jnp.int32), 0, int(res[k]) - 1)
+                w = scaled - xi.astype(jnp.float32)
+                g0 = jnp.take(g, xi, axis=k)
+                g1 = jnp.take(g, xi + 1, axis=k)
+                wshape = [1] * g0.ndim
+                wshape[k] = out_shape[k]
+                w = w.reshape(wshape)
+                g = g0 * (1.0 - w) + g1 * w
+            feats.append(g.reshape(n, F))
+        return jnp.concatenate(feats, axis=-1)  # (n, L*F) in logical level order
+
+    # ------------------------------------------------------------------
     # packed per-corner path (big dense + hashed levels)
 
     def _packed_ids_weights(self, xs):

@@ -23,7 +23,13 @@ from .fused_mlp import (
     fused_siren_forward,
     pallas_supported,
 )
-from .hash_encode import hash_encode_forward, pallas_hash_encode, table_fits_vmem
+from .hash_encode import (
+    coarse_onehot_levels,
+    hash_encode_forward,
+    pallas_hash_encode,
+    pallas_hash_encode_coarse,
+    table_fits_vmem,
+)
 
 __all__ = [
     "fused_siren_apply",
@@ -31,6 +37,8 @@ __all__ = [
     "fused_mlp_apply",
     "fused_mlp_forward",
     "pallas_hash_encode",
+    "pallas_hash_encode_coarse",
+    "coarse_onehot_levels",
     "hash_encode_forward",
     "table_fits_vmem",
     "pallas_supported",

@@ -31,13 +31,15 @@ execute Mosaic/Pallas kernels; kernels are validated in interpreter mode
 against the XLA oracle (tests/test_pallas.py) and gated behind
 ``pallas_supported()``.
 
-LOWERING STATUS (probed 2026-08-16 on jax 0.8.x Mosaic): the fused MLP
-kernels lower AND compile for TPU (matmul + elementwise only), but Mosaic in
-this jax has no lowering for vector gather/scatter primitives
-("Unimplemented primitive ... gather / scatter-add / dynamic_slice"), so THIS
-kernel's compiled path requires a newer Mosaic with ``dynamic_gather``
-support; until then ``pallas_supported()`` keeps the XLA path in charge and
-the kernel body documents the target design.
+LOWERING STATUS (re-probed 2026-08-17, scripts/probe_pallas_compile.py ->
+runs/pallas_compile_status.json): the fused MLP kernels AND the one-hot
+coarse-level kernels below (``pallas_hash_encode_coarse``: iota/compare/dot
+only) lower and compile for TPU on current Mosaic — forward and backward.
+The gather-based kernels in this module still fail ("Cannot do int indexing
+on TPU": no vector gather/scatter lowering), so their compiled path waits on
+a Mosaic with ``dynamic_gather``; re-run the probe after any jax upgrade.
+``pallas_supported()`` keeps the XLA path in charge at runtime (the axon
+tunnel does not execute Mosaic kernels).
 """
 
 from __future__ import annotations
@@ -52,7 +54,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ...encodings.hashgrid import PRIMES, HashGridEncoding
 from .fused_mlp import pallas_supported
 
-__all__ = ["pallas_hash_encode", "hash_encode_forward", "table_fits_vmem"]
+__all__ = ["pallas_hash_encode", "hash_encode_forward", "table_fits_vmem",
+           "pallas_hash_encode_coarse", "coarse_onehot_levels"]
 
 # Conservative VMEM budget for the resident table (16 MB/core total, minus
 # activations/weights working set).
@@ -136,7 +139,19 @@ def _forward_kernel(levels, d: int, F: int, x_ref, table_ref, out_ref):
 
 def _backward_kernel(levels, d: int, F: int, x_ref, g_ref, dtable_ref):
     """dL/dtable via sequential-grid accumulation: every program owns the same
-    (total_size, F) output block; zero it once, scatter-add per tile."""
+    (total_size, F) output block; zero it once, scatter-add per tile.
+
+    DESIGN CAVEAT (honest performance note): ``acc = dtable_ref[:]`` ...
+    ``dtable_ref[:] = acc`` makes EVERY grid program read and rewrite the
+    whole (total_size, F) accumulator — with a 2 MB table and ~1.8K tiles
+    that is GB-scale VMEM traffic per step. This kernel is an
+    interpreter-validated SEMANTICS SPEC for a future Mosaic with gather/
+    scatter lowering, not a performance design; a production version needs
+    per-tile partial accumulators (reduce at the end) or
+    ``input_output_aliasing`` so the accumulator lives in place. The
+    one-hot kernels below (``pallas_hash_encode_coarse``) show the
+    accumulate-small-block-in-place structure and DO lower on current
+    Mosaic."""
     C = 1 << d
 
     @pl.when(pl.program_id(0) == 0)
@@ -217,6 +232,208 @@ def _register(enc: HashGridEncoding) -> tuple:
     if key not in _ENC_REGISTRY:
         _ENC_REGISTRY[key] = (enc, _level_consts(enc))
     return key
+
+
+# ---------------------------------------------------------------------------
+# One-hot x table MATMUL kernels for coarse dense levels.
+#
+# Mosaic in this jax cannot lower vector gather/scatter (see LOWERING STATUS
+# above), but it CAN lower iota, comparisons and dot. For a coarse dense
+# level with R rows, the per-corner lookup
+#     rows = table[idx]                        (gather)
+# is algebraically
+#     rows = onehot(idx, R) @ table_level      (MXU matmul)
+# and its transpose
+#     dtable_level += onehot(idx, R)^T @ g     (MXU matmul, small in-place +=)
+# — no gather/scatter primitives anywhere, so these kernels LOWER AND COMPILE
+# for TPU on current Mosaic (verified by scripts/probe_pallas_compile.py;
+# status in runs/pallas_compile_status.json). Viable for levels up to a few
+# thousand rows: the one-hot tile is (tile, Rpad) f32 in VMEM, and the
+# matmul does tile*R*F useful FLOPs per corner — wasteful vs a real gather,
+# but it rides the MXU, which is idle in this kernel anyway.
+#
+# The backward accumulates ONLY each level's (Rpad, F) block in place —
+# the structure the big gather-kernel's backward should adopt once Mosaic
+# gains scatter lowering (see _backward_kernel's caveat).
+
+_ONEHOT_MAX_ROWS = 2048
+
+
+def coarse_onehot_levels(enc: HashGridEncoding, max_rows: int = _ONEHOT_MAX_ROWS):
+    """Dense levels small enough for the one-hot matmul path."""
+    return [
+        l for l in range(enc.n_levels)
+        if enc.level_dense[l] and int(enc.level_sizes[l]) <= max_rows
+    ]
+
+
+def _onehot_consts(enc: HashGridEncoding, levels):
+    """Per-level constants with LOCAL offsets into the packed coarse table
+    (each level's rows padded up to a 128 multiple for clean MXU tiling)."""
+    consts, cursor = [], 0
+    all_levels = _level_consts(enc)
+    for l in levels:
+        lc = dict(all_levels[l])
+        rpad = _round_up(lc["size"], 128)
+        lc["local_off"] = cursor
+        lc["rpad"] = rpad
+        lc["offset"] = 0  # idx stays level-local in the one-hot kernels
+        consts.append(lc)
+        cursor += rpad
+    return consts, cursor
+
+
+def _pack_coarse_table(enc: HashGridEncoding, table, consts):
+    """(total_packed, F) coarse-table: each level's segment zero-padded to its
+    rpad. Pure slicing/concat — autodiff routes the packed gradient back to
+    the fused table automatically."""
+    segs = []
+    for lc in consts:
+        seg = table[lc["global_off"] : lc["global_off"] + lc["size"]]
+        pad = lc["rpad"] - lc["size"]
+        if pad:
+            seg = jnp.concatenate([seg, jnp.zeros((pad, seg.shape[1]), seg.dtype)])
+        segs.append(seg)
+    return jnp.concatenate(segs, axis=0)
+
+
+def _onehot_forward_kernel(consts, d: int, F: int, x_ref, table_ref, out_ref):
+    C = 1 << d
+    x_cols = [x_ref[:, k] for k in range(d)]
+    tile = x_ref.shape[0]
+    for j, lc in enumerate(consts):
+        seg = table_ref[lc["local_off"] : lc["local_off"] + lc["rpad"], :]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tile, lc["rpad"]), 1)
+        acc = None
+        for c in range(C):
+            idx, w = _corner_ids_weights(x_cols, lc, d, c)
+            onehot_w = jnp.where(iota == idx[:, None], w[:, None], 0.0)
+            contrib = jax.lax.dot_general(
+                onehot_w, seg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = contrib if acc is None else acc + contrib
+        out_ref[:, j * F : (j + 1) * F] = acc
+
+
+def _onehot_backward_kernel(consts, d: int, F: int, x_ref, g_ref, dtable_ref):
+    C = 1 << d
+    x_cols = [x_ref[:, k] for k in range(d)]
+    tile = x_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dtable_ref[:] = jnp.zeros_like(dtable_ref)
+
+    for j, lc in enumerate(consts):
+        gl = g_ref[:, j * F : (j + 1) * F]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tile, lc["rpad"]), 1)
+        acc = None
+        for c in range(C):
+            idx, w = _corner_ids_weights(x_cols, lc, d, c)
+            onehot_w = jnp.where(iota == idx[:, None], w[:, None], 0.0)
+            # (Rpad, F) = onehot_w^T @ gl — contract the tile axis
+            d_seg = jax.lax.dot_general(
+                onehot_w, gl, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = d_seg if acc is None else acc + d_seg
+        # accumulate ONLY this level's small block, in place
+        blk = dtable_ref[lc["local_off"] : lc["local_off"] + lc["rpad"], :]
+        dtable_ref[lc["local_off"] : lc["local_off"] + lc["rpad"], :] = blk + acc
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _onehot_forward_call(packed, x, okey, tile, interpret):
+    consts, total_packed, d, F = _ONEHOT_REGISTRY[okey]
+    L = len(consts)
+    n = x.shape[0]
+    padded = _round_up(max(n, 1), tile)
+    if padded != n:
+        x = jnp.concatenate([x, jnp.zeros((padded - n, d), x.dtype)])
+    out = pl.pallas_call(
+        functools.partial(_onehot_forward_kernel, consts, d, F),
+        out_shape=jax.ShapeDtypeStruct((padded, L * F), jnp.float32),
+        grid=(padded // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((total_packed, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, L * F), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, packed)
+    return out[:n]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _onehot_backward_call(x, g, okey, tile, interpret):
+    consts, total_packed, d, F = _ONEHOT_REGISTRY[okey]
+    n = x.shape[0]
+    padded = _round_up(max(n, 1), tile)
+    if padded != n:
+        x = jnp.concatenate([x, jnp.zeros((padded - n, d), x.dtype)])
+        g = jnp.concatenate([g, jnp.zeros((padded - n, g.shape[1]), g.dtype)])
+    return pl.pallas_call(
+        functools.partial(_onehot_backward_kernel, consts, d, F),
+        out_shape=jax.ShapeDtypeStruct((total_packed, F), jnp.float32),
+        grid=(padded // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, g.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((total_packed, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, g)
+
+
+_ONEHOT_REGISTRY: dict = {}
+
+
+def _register_onehot(enc: HashGridEncoding, levels) -> tuple:
+    consts, total_packed = _onehot_consts(enc, levels)
+    all_levels = _level_consts(enc)
+    for lc, l in zip(consts, levels):
+        lc["global_off"] = all_levels[l]["offset"]
+    key = (_register(enc), tuple(levels))
+    if key not in _ONEHOT_REGISTRY:
+        _ONEHOT_REGISTRY[key] = (consts, total_packed, enc.input_dim, enc.n_features_per_level)
+    return key
+
+
+def pallas_hash_encode_coarse(
+    enc: HashGridEncoding,
+    params,
+    x,
+    tile: int = 256,
+    max_rows: int = _ONEHOT_MAX_ROWS,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable encode of the COARSE dense levels via one-hot matmuls.
+
+    Returns (N, n_coarse * F) features for ``coarse_onehot_levels(enc)`` in
+    logical level order — the compiled-Mosaic slice of the encoder on current
+    jax (finer levels stay on the XLA path). Gradients flow to the fused
+    table through the packing slices.
+    """
+    levels = coarse_onehot_levels(enc, max_rows)
+    if not levels:
+        raise ValueError("no dense level small enough for the one-hot path")
+    okey = _register_onehot(enc, levels)
+    consts = _ONEHOT_REGISTRY[okey][0]
+    packed = _pack_coarse_table(enc, params["table"], consts)
+
+    @jax.custom_vjp
+    def call(packed, x):
+        return _onehot_forward_call(packed, x, okey, tile, interpret)
+
+    def fwd(packed, x):
+        return call(packed, x), x
+
+    def bwd(x_saved, g):
+        return _onehot_backward_call(x_saved, g, okey, tile, interpret), None
+
+    call.defvjp(fwd, bwd)
+    return call(packed, x)
 
 
 def hash_encode_forward(enc: HashGridEncoding, params, x, tile: int = 1024,

@@ -301,3 +301,46 @@ class TestPacked4D:
         table = np.asarray(params["table"])
         manual = (table[np.asarray(ids[0, 0])][:, 0] * np.asarray(w[0, 0])).sum()
         np.testing.assert_allclose(float(out[0, 0]), manual, rtol=1e-5)
+
+
+class TestApplyGrid:
+    """Separable regular-grid evaluation must equal the per-voxel oracle."""
+
+    @pytest.mark.parametrize("cfg", [
+        dict(dim=2, n_levels=3, n_features_per_level=2, log2_hashmap_size=12,
+             base_resolution=(3, 2), finest_resolution=(17, 9)),
+        dict(dim=3, n_levels=4, n_features_per_level=2, log2_hashmap_size=17,
+             base_resolution=(4, 4, 2), finest_resolution=(20, 20, 10)),
+        dict(dim=4, n_levels=2, n_features_per_level=1, log2_hashmap_size=14,
+             base_resolution=(3, 3, 2, 2), finest_resolution=(9, 9, 5, 6)),
+    ])
+    def test_matches_apply_on_grid_coords(self, cfg):
+        from mri_interpolation_tpu.io import flat_coords
+
+        enc = HashGridEncoding(storage="dense", **cfg)
+        assert enc.supports_grid_path()
+        params = enc.init(jax.random.key(0))
+        shape = tuple(5 + i for i in range(cfg["dim"]))
+        got = np.asarray(enc.apply_grid(params, shape))
+        want = np.asarray(enc.apply(params, jnp.asarray(flat_coords(shape))))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_upsampled_grid(self):
+        from mri_interpolation_tpu.io import flat_coords
+
+        enc = HashGridEncoding(dim=3, n_levels=3, n_features_per_level=2,
+                               log2_hashmap_size=14, base_resolution=(4, 4, 2),
+                               finest_resolution=(16, 16, 8), storage="dense")
+        params = enc.init(jax.random.key(1))
+        shape = (23, 31, 17)  # finer than every level resolution
+        got = np.asarray(enc.apply_grid(params, shape))
+        want = np.asarray(enc.apply(params, jnp.asarray(flat_coords(shape))))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_rejects_hashed_levels(self):
+        enc = HashGridEncoding(dim=3, n_levels=2, n_features_per_level=1,
+                               log2_hashmap_size=6, base_resolution=4,
+                               finest_resolution=32, storage="hashed")
+        assert not enc.supports_grid_path()
+        with pytest.raises(ValueError, match="dense"):
+            enc.apply_grid(enc.init(jax.random.key(0)), (8, 8, 8))

@@ -189,3 +189,26 @@ class TestHashModelGridEval:
         got = predict_batched(model, params, state, coords, chunk_size=100)
         want, _ = model.apply(params, state, jnp.asarray(coords))
         np.testing.assert_allclose(got, np.asarray(want), atol=1e-6)
+
+
+class TestU16Transport:
+    def test_quantized_transport_matches_f32(self):
+        from mri_interpolation_tpu.models import make_hash_mlp
+
+        model = make_hash_mlp(
+            dim_in=3, n_levels=3, n_features_per_level=2, log2_hashmap_size=12,
+            base_resolution=(4, 4, 2), finest_resolution=(16, 16, 8),
+            dim_hidden=16, n_layers=2, decoder="relu_plain", fused="off")
+        params, state = model.init(jax.random.key(0))
+        shape = (9, 9, 7)
+        f32 = evaluate_grid(model, params, state, shape)
+        u16 = evaluate_grid(model, params, state, shape, transport="u16")
+        rng = f32.max() - f32.min()
+        # one quantization step against the volume's dynamic range
+        assert np.abs(u16 - f32).max() <= rng / 65535.0 + 1e-7
+
+    def test_rejects_unknown_transport(self):
+        model = make_siren(dim_in=3, dim_hidden=8, n_layers=2)
+        params, state = model.init(jax.random.key(0))
+        with pytest.raises(ValueError, match="transport"):
+            evaluate_grid(model, params, state, (4, 4, 4), transport="f8")

@@ -186,3 +186,81 @@ class TestHashEncodeVjp:
 
         ref = enc.apply(params, x)
         np.testing.assert_allclose(np.asarray(f(params)), np.asarray(ref), atol=1e-6)
+
+
+class TestOneHotCoarseEncode:
+    """One-hot x table matmul kernels (no gather/scatter primitives — the
+    compiled-Mosaic slice of the encoder; VERDICT r2 Next #4)."""
+
+    def _enc(self):
+        from mri_interpolation_tpu.encodings import HashGridEncoding
+
+        # all levels dense and small -> every level qualifies
+        return HashGridEncoding(dim=3, n_levels=3, n_features_per_level=2,
+                                log2_hashmap_size=11, base_resolution=(3, 3, 2),
+                                finest_resolution=(11, 11, 6), storage="auto",
+                                growth="paper")
+
+    def _oracle_coarse(self, enc, params, x, levels):
+        full = enc.apply(params, x)  # (n, L*F)
+        F = enc.n_features_per_level
+        cols = [full[:, l * F : (l + 1) * F] for l in levels]
+        return jnp.concatenate(cols, axis=-1)
+
+    def test_forward_matches_oracle(self):
+        from mri_interpolation_tpu.ops.pallas import (
+            coarse_onehot_levels,
+            pallas_hash_encode_coarse,
+        )
+
+        enc = self._enc()
+        levels = coarse_onehot_levels(enc)
+        assert levels == [0, 1, 2]
+        params = enc.init(jax.random.key(3))
+        x = jax.random.uniform(jax.random.key(4), (517, 3))
+        got = pallas_hash_encode_coarse(enc, params, x, tile=256, interpret=True)
+        want = self._oracle_coarse(enc, params, x, levels)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_partial_level_subset(self):
+        """Mixed config: only the coarse dense levels qualify."""
+        from mri_interpolation_tpu.encodings import HashGridEncoding
+        from mri_interpolation_tpu.ops.pallas import (
+            coarse_onehot_levels,
+            pallas_hash_encode_coarse,
+        )
+
+        enc = HashGridEncoding(dim=3, n_levels=4, n_features_per_level=1,
+                               log2_hashmap_size=14, base_resolution=(4, 4, 2),
+                               finest_resolution=(40, 40, 12), storage="auto")
+        levels = coarse_onehot_levels(enc)
+        assert 0 < len(levels) < enc.n_levels
+        params = enc.init(jax.random.key(5))
+        x = jax.random.uniform(jax.random.key(6), (256, 3))
+        got = pallas_hash_encode_coarse(enc, params, x, tile=256, interpret=True)
+        want = self._oracle_coarse(enc, params, x, levels)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_table_gradients_match_oracle(self):
+        from mri_interpolation_tpu.ops.pallas import (
+            coarse_onehot_levels,
+            pallas_hash_encode_coarse,
+        )
+
+        enc = self._enc()
+        levels = coarse_onehot_levels(enc)
+        params = enc.init(jax.random.key(7))
+        x = jax.random.uniform(jax.random.key(8), (300, 3))
+        tgt = jax.random.normal(jax.random.key(9), (300, len(levels) * enc.n_features_per_level))
+
+        def loss_kernel(table):
+            z = pallas_hash_encode_coarse(enc, {"table": table}, x, tile=256, interpret=True)
+            return jnp.mean((z - tgt) ** 2)
+
+        def loss_oracle(table):
+            z = self._oracle_coarse(enc, {"table": table}, x, levels)
+            return jnp.mean((z - tgt) ** 2)
+
+        g_k = jax.grad(loss_kernel)(params["table"])
+        g_o = jax.grad(loss_oracle)(params["table"])
+        np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_o), atol=1e-6)
