@@ -163,7 +163,7 @@ def main(argv=None):
             dim_in=3, n_levels=4, n_features_per_level=4, log2_hashmap_size=23,
             base_resolution=(64, 64), finest_resolution=(352, 352),
             dim_hidden=64, n_layers=2, warp_hidden=64, warp_layers=3,
-            warp_w0=5.0, warp_scale=0.05, residual_scale=0.05,
+            warp_w0=5.0, warp_scale=0.05, residual_scale=0.05, warp_accel=1.0,
         )
         warp_epochs = 60
         warp_cfg = TrainConfig(batch_size=batch, epochs=warp_epochs, lr=1e-2, seed=1337,

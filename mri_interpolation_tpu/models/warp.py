@@ -76,13 +76,25 @@ def make_warp_inr(
     warp_w0: float = 5.0,            # low frequency -> temporally smooth motion
     warp_scale: float = 0.05,        # max displacement in normalized coords (measured best)
     residual_scale: float = 0.0,     # >0: small additive appearance term r(x,t)
+    residual_w0: float = 0.0,        # 0 -> warp_w0; smaller = lower-freq residual in (x,t)
+    warp_smooth: float = 0.0,        # spatial Jacobian penalty weight on d
+    warp_accel: float = 0.0,         # temporal acceleration penalty weight on d
+    residual_accel: float = 0.0,     # temporal acceleration penalty on r(x,t)
+    warp_t_scale: float = 1.0,       # <1 compresses the time input -> smoother d in t
     lr: float = 1e-2,
 ) -> Model:
     """``residual_scale``: motion alone cannot express appearance changes
     (contrast drift, through-plane content); a small zero-initialized SIREN
     residual ``f = g(x + d) + residual_scale * r(x, t)`` absorbs them. Keep it
     small — a large residual re-introduces the direct-INR failure mode
-    (temporal memorization that generalizes no better than cross-fading)."""
+    (temporal memorization that generalizes no better than cross-fading).
+
+    ``warp_smooth``: penalizes the SPATIAL Jacobian of the deformation
+    (jvp along each spatial axis) — neighboring voxels should move together.
+    ``warp_accel``: penalizes the temporal second difference of d — favors
+    near-linear motion between trained frames, exactly the prior the
+    held-out even-frame protocol rewards. Both enter through the model's
+    ``loss_fn`` hook (Trainer composes them automatically)."""
     s = dim_in - 1
     if isinstance(base_resolution, (tuple, list)) and len(base_resolution) != s:
         base_resolution = tuple(base_resolution)[:s]
@@ -113,10 +125,21 @@ def make_warp_inr(
             params["residual"] = _siren_field_init(k_res, res_dims, warp_w0)
         return params, {}
 
+    r_w0 = residual_w0 if residual_w0 > 0.0 else warp_w0
+    t_scale = jnp.ones((dim_in,)).at[dim_in - 1].set(warp_t_scale)
+
+    def warp_field(params, x):
+        """Displacement d(x, t) in normalized coords. SIREN operates on
+        [-1, 1]; volume coords arrive in [0, 1]. ``warp_t_scale`` compresses
+        the time input, lowering d's effective temporal frequency."""
+        return _siren_field_apply(params["warp"], (x * 2.0 - 1.0) * t_scale, warp_w0) * warp_scale
+
+    def residual_field(params, x):
+        return _siren_field_apply(params["residual"], x * 2.0 - 1.0, r_w0)
+
     def apply(params, state, x, train=False, rng=None):
         xs = x[..., :s]
-        # SIREN operates on [-1, 1]; volume coords arrive in [0, 1]
-        d = _siren_field_apply(params["warp"], x * 2.0 - 1.0, warp_w0) * warp_scale
+        d = warp_field(params, x)
         xw = jnp.clip(xs + d, 0.0, 1.0)
         z = encoder.apply(params["encoder"], xw)
         for i in range(n_layers):
@@ -124,9 +147,49 @@ def make_warp_inr(
             if i < n_layers - 1:
                 z = jax.nn.relu(z)
         if residual_scale > 0.0:
-            z = z + residual_scale * _siren_field_apply(params["residual"], x * 2.0 - 1.0, warp_w0)
+            z = z + residual_scale * residual_field(params, x)
         return z, state
+
+    loss_fn = None
+    if warp_smooth > 0.0 or warp_accel > 0.0 or residual_accel > 0.0:
+        from ..train.losses import mse_loss
+
+        def loss_fn(params, state, batch, rng, train):
+            x, y = batch
+            y_pred, new_state = apply(params, state, x, train=train, rng=rng)
+            loss = mse_loss(y_pred, y)
+            if warp_smooth > 0.0:
+                # spatial gradient of d via central differences (~1 voxel):
+                # neighboring voxels move together. (A jvp formulation
+                # SIGILLs this environment's XLA TPU fusion pass —
+                # finite differences express the same prior with plain ops.)
+                eps = 1.0 / 352.0
+                reg = 0.0
+                for k in range(s):
+                    e = jnp.zeros((1, dim_in)).at[0, k].set(eps)
+                    e = jnp.broadcast_to(e, x.shape)
+                    gk = (warp_field(params, x + e) - warp_field(params, x - e)) / (2.0 * eps)
+                    reg = reg + jnp.mean(gk**2)
+                loss = loss + warp_smooth * reg
+            if warp_accel > 0.0 or (residual_accel > 0.0 and residual_scale > 0.0):
+                # temporal second difference at half-frame spacing: favors
+                # near-linear variation between trained frames — exactly the
+                # prior the held-out even-frame protocol rewards
+                dt = jnp.zeros((1, dim_in)).at[0, dim_in - 1].set(0.5 / 15.0)
+                dt = jnp.broadcast_to(dt, x.shape)
+                if warp_accel > 0.0:
+                    d0 = warp_field(params, x)
+                    dp = warp_field(params, x + dt)
+                    dm = warp_field(params, x - dt)
+                    loss = loss + warp_accel * jnp.mean((dp - 2.0 * d0 + dm) ** 2)
+                if residual_accel > 0.0 and residual_scale > 0.0:
+                    r0 = residual_field(params, x)
+                    rp = residual_field(params, x + dt)
+                    rm = residual_field(params, x - dt)
+                    loss = loss + residual_accel * jnp.mean(
+                        (residual_scale * (rp - 2.0 * r0 + rm)) ** 2)
+            return loss, new_state
 
     return Model(init=init, apply=apply, dim_in=dim_in, dim_out=dim_out, name="warp_inr",
                  hparams={"lr": lr, "warp_scale": warp_scale, "warp_w0": warp_w0,
-                          "encoder": encoder})
+                          "encoder": encoder}, loss_fn=loss_fn)

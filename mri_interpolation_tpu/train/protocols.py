@@ -21,7 +21,8 @@ from ..metrics import evaluate_reconstruction
 from ..models.core import Model
 from .trainer import TrainConfig, Trainer, TrainResult
 
-__all__ = ["two_phase_hash_fit", "even_frame_fit_eval", "key_frame_subset", "undersampled_fit_eval"]
+__all__ = ["two_phase_hash_fit", "even_frame_fit_eval", "key_frame_subset",
+           "undersampled_fit_eval", "ensembled_warp_fit_eval"]
 
 
 def key_frame_subset(
@@ -135,3 +136,56 @@ def undersampled_fit_eval(
         "zero_filled": zf_q,
         "kept_fraction": float(len(kept)) / float(np.prod(image.shape)),
     }
+
+
+def ensembled_warp_fit_eval(
+    make_model,
+    image: np.ndarray,
+    config: TrainConfig,
+    seeds: Sequence[int] = (1337, 7, 23, 99),
+    linear_blend: float = 0.0,
+    zero_centered: bool = False,
+) -> dict:
+    """Seed-ensembled even-frame protocol: fit ``make_model()`` once per seed,
+    AVERAGE the full-grid reconstructions, optionally blend with the classical
+    linear resampler (``pred = (1-b)*ensemble + b*linear``).
+
+    The warp-INR sweep (results.json "warp_sweep") found single-model held-out
+    quality saturates ~25.9 dB on the 2D+t ankle workload while seeds
+    decorrelate — a 4-seed ensemble adds ~+0.2 dB and +0.01 SSIM on top of
+    the best single model. Returns {"odd": metrics, "full": metrics,
+    "per_seed_odd_psnr": [...]}.
+    """
+    from ..infer import linear_interpolate_volume
+
+    lo = -1.0 if zero_centered else 0.0
+    rng = 2.0 if zero_centered else 1.0
+    train_img, _ = even_frame_split(image)
+    coords = flat_coords(train_img.shape, lo=lo)
+    t_full, t_even = image.shape[-1], train_img.shape[-1]
+    scale = 2.0 * (t_even - 1) / max(t_full - 1, 1)
+    coords[:, -1] = lo + (coords[:, -1] - lo) * scale
+    values = train_img.reshape(-1, 1)
+
+    recons, per_seed = [], []
+    for seed in seeds:
+        import dataclasses
+
+        model = make_model()
+        cfg = dataclasses.replace(config, seed=seed)
+        result = Trainer(cfg).fit(model, coords, values)
+        recon = evaluate_grid(model, result.params, result.state, image.shape, lo=lo)
+        q = evaluate_reconstruction(
+            jax.numpy.asarray(recon[..., 1::2]), jax.numpy.asarray(image[..., 1::2]), data_range=rng
+        )
+        per_seed.append(float(q["psnr"]))
+        recons.append(recon)
+    pred = np.mean(recons, axis=0)
+    if linear_blend > 0.0:
+        lin = linear_interpolate_volume(image[..., ::2], image.shape)
+        pred = (1.0 - linear_blend) * pred + linear_blend * lin
+    odd_q = evaluate_reconstruction(
+        jax.numpy.asarray(pred[..., 1::2]), jax.numpy.asarray(image[..., 1::2]), data_range=rng
+    )
+    full_q = evaluate_reconstruction(jax.numpy.asarray(pred), jax.numpy.asarray(image), data_range=rng)
+    return {"odd": odd_q, "full": full_q, "per_seed_odd_psnr": per_seed}

@@ -415,3 +415,79 @@ class TestWarpInr:
                           lr_schedule="cosine", cosine_t_max=60, seed=0)
         res = Trainer(cfg).fit(m, coords, values)
         assert res.losses[-1] < res.losses[0] * 0.1
+
+
+class TestWarpRegularizers:
+    """The r3 sweep knobs: accel/smooth priors enter via loss_fn and must
+    train finitely and differ from the unregularized loss."""
+
+    def _fit(self, **kw):
+        from mri_interpolation_tpu.io import dataset_from_array, synthetic_volume
+        from mri_interpolation_tpu.models import make_warp_inr
+        from mri_interpolation_tpu.train import TrainConfig, Trainer
+
+        vol = synthetic_volume((10, 10, 6), seed=4)
+        ds = dataset_from_array(vol)
+        model = make_warp_inr(dim_in=3, n_levels=2, n_features_per_level=2,
+                              log2_hashmap_size=10, base_resolution=(4, 4),
+                              finest_resolution=(10, 10), dim_hidden=8, n_layers=2,
+                              warp_hidden=8, warp_layers=2, residual_scale=0.05, **kw)
+        cfg = TrainConfig(batch_size=200, epochs=2, lr=5e-3, seed=0)
+        return Trainer(cfg).fit(model, ds.coords, ds.values)
+
+    def test_priors_compose_through_loss_fn(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from mri_interpolation_tpu.models import make_warp_inr
+        from mri_interpolation_tpu.train.losses import mse_loss
+
+        kw = dict(dim_in=3, n_levels=2, n_features_per_level=2,
+                  log2_hashmap_size=10, base_resolution=(4, 4),
+                  finest_resolution=(10, 10), dim_hidden=8, n_layers=2,
+                  warp_hidden=8, warp_layers=2, residual_scale=0.05)
+        plain = make_warp_inr(**kw)
+        reg = make_warp_inr(warp_accel=1.0, warp_smooth=1e-2, residual_accel=1.0, **kw)
+        assert plain.loss_fn is None and reg.loss_fn is not None
+        params, state = reg.init(jax.random.key(0))
+        # perturb the (zero-initialized) warp head so d is nonzero and its
+        # curvature/gradient penalties are strictly positive
+        params["warp"][-1]["w"] = 0.3 * jnp.ones_like(params["warp"][-1]["w"])
+        x = jax.random.uniform(jax.random.key(1), (64, 3))
+        y = jnp.zeros((64, 1))
+        y_pred, _ = reg.apply(params, state, x, train=True, rng=None)
+        base = float(mse_loss(y_pred, y))
+        total, _ = reg.loss_fn(params, state, (x, y), None, True)
+        assert float(total) > base + 1e-8, (float(total), base)
+
+    def test_t_scale_changes_field(self):
+        import numpy as np
+
+        a = self._fit(warp_t_scale=1.0)
+        b = self._fit(warp_t_scale=0.5)
+        assert np.isfinite(b.losses).all()
+        assert not np.allclose(np.asarray(a.params["warp"][0]["w"]),
+                               np.asarray(b.params["warp"][0]["w"]))
+
+
+class TestEnsembledWarpProtocol:
+    def test_ensemble_runs_and_reports(self):
+        import numpy as np
+
+        from mri_interpolation_tpu.io import synthetic_volume
+        from mri_interpolation_tpu.models import make_warp_inr
+        from mri_interpolation_tpu.train import TrainConfig
+        from mri_interpolation_tpu.train.protocols import ensembled_warp_fit_eval
+
+        vol = synthetic_volume((8, 8, 6), seed=1)
+        vol = (vol - vol.min()) / (vol.max() - vol.min())
+        q = ensembled_warp_fit_eval(
+            lambda: make_warp_inr(dim_in=3, n_levels=2, n_features_per_level=2,
+                                  log2_hashmap_size=8, base_resolution=(3, 3),
+                                  finest_resolution=(8, 8), dim_hidden=8, n_layers=2,
+                                  warp_hidden=8, warp_layers=2),
+            vol, TrainConfig(batch_size=100, epochs=2, lr=5e-3),
+            seeds=(0, 1), linear_blend=0.2)
+        assert len(q["per_seed_odd_psnr"]) == 2
+        assert np.isfinite(q["odd"]["psnr"])
