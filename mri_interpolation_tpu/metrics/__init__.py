@@ -109,6 +109,11 @@ def evaluate_reconstruction(pred: jnp.ndarray, target: jnp.ndarray, data_range: 
         "mse": float(mse(pred, target)),
         "psnr": float(psnr(pred, target, data_range)),
     }
-    if all(s >= 7 for s in pred.shape):
-        out["ssim"] = float(ssim(pred, target, data_range))
+    # Adapt the window to the smallest axis (largest odd size <= 7 that
+    # fits) so thin-axis volumes — e.g. the 4D (352,352,6,15) sample — get
+    # an SSIM instead of a silent skip.
+    win = min(7, min(int(s) for s in pred.shape))
+    win -= (win + 1) % 2
+    if win >= 3:
+        out["ssim"] = float(ssim(pred, target, data_range, win_size=win))
     return out

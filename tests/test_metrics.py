@@ -77,5 +77,11 @@ class TestMisc:
         x = jnp.asarray(rng.random((8, 8)), dtype=jnp.float32)
         out = evaluate_reconstruction(x, x)
         assert set(out) == {"mse", "psnr", "ssim"}
+        # adaptive window: a (3,3) image gets a 3-wide SSIM window now
         out_small = evaluate_reconstruction(jnp.ones((3, 3)), jnp.ones((3, 3)))
-        assert "ssim" not in out_small
+        assert "ssim" in out_small
+        # 4D thin-axis volumes (the full ankle sample) get an SSIM too
+        vol4d = jnp.asarray(rng.random((9, 9, 6, 8)), dtype=jnp.float32)
+        assert np.isfinite(evaluate_reconstruction(vol4d, vol4d)["ssim"])
+        out_tiny = evaluate_reconstruction(jnp.ones((2, 2)), jnp.ones((2, 2)))
+        assert "ssim" not in out_tiny
