@@ -4,6 +4,7 @@ from .data_parallel import DataParallelTrainer, evaluate_grid_sharded, fit_multi
 from .mesh import Mesh, NamedSharding, P, make_mesh, replicated, sharded_batch
 from .sharded_table import (
     ShardedHashTrainer,
+    evaluate_grid_sharded_table,
     make_sharded_encode,
     plan_table_sharding,
     shard_table,
@@ -16,6 +17,7 @@ __all__ = [
     "evaluate_grid_sharded",
     "fit_multi_volume",
     "ShardedHashTrainer",
+    "evaluate_grid_sharded_table",
     "plan_table_sharding",
     "make_sharded_encode",
     "sharded_encode_apply",

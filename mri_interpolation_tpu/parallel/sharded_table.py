@@ -62,6 +62,7 @@ __all__ = [
     "unshard_table",
     "make_sharded_encode",
     "sharded_encode_apply",
+    "evaluate_grid_sharded_table",
     "ShardedHashTrainer",
 ]
 
@@ -254,6 +255,57 @@ def sharded_encode_apply(
         mesh=mesh, in_specs=(P(axis_name), P()), out_specs=P(), check_vma=False,
     )
     return jax.jit(fn)(shards, x)
+
+
+def evaluate_grid_sharded_table(
+    model: Model,
+    plan: TableShardingPlan,
+    mesh: Mesh,
+    shards,
+    dec_params,
+    state,
+    shape,
+    lo: float = 0.0,
+    hi: float = 1.0,
+    chunk_size: int = 1 << 16,
+    axis_name: str = "data",
+) -> np.ndarray:
+    """Dense-grid inference with the table STILL SHARDED: coordinates are
+    synthesized on device, each chunk is encoded with the distributed encode
+    (device-local gathers + one all_gather) and decoded with the replicated
+    decoder — the full table never materializes on one chip, so models whose
+    tables exceed single-chip HBM can run the super-resolution path too.
+
+    ``shards``: (ndev, local_rows, F) as produced by ``shard_table`` /
+    ``ShardedHashTrainer``; ``dec_params``: the non-encoder params dict.
+    """
+    from ..infer.grid import flat_index_to_coords
+
+    enc: HashGridEncoding = model.hparams["encoder"]
+    decode = model.hparams["decode"]
+    encode = make_sharded_encode(enc, plan, axis_name)
+    shape = tuple(int(s) for s in shape)
+    n = int(np.prod(shape))
+    chunk_size = min(chunk_size, n)
+    n_chunks = -(-n // chunk_size)
+    starts = jnp.arange(n_chunks) * chunk_size
+
+    def run(shards3, dec_params, state):
+        local = shards3[0]
+
+        def eval_chunk(carry, start):
+            flat = jnp.minimum(start + jnp.arange(chunk_size), n - 1)
+            x = flat_index_to_coords(flat, shape, lo, hi)
+            z = encode(local, x)
+            y, _ = decode(dec_params, state, z, train=False, rng=None)
+            return carry, y
+
+        return jax.lax.scan(eval_chunk, 0, starts)[1]
+
+    fn = shard_map(run, mesh=mesh, in_specs=(P(axis_name), P(), P()),
+                   out_specs=P(), check_vma=False)
+    out = np.asarray(jax.jit(fn)(shards, dec_params, state)).reshape(-1, 1)[:n]
+    return out.reshape(shape)
 
 
 class ShardedHashTrainer:

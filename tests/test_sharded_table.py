@@ -193,3 +193,32 @@ class TestShardedFit:
         with pytest.raises(ValueError, match="encoder"):
             ShardedHashTrainer(cfg, mesh=mesh8).fit(
                 make_siren(dim_in=3), np.zeros((10, 3), np.float32), np.zeros((10, 1), np.float32))
+
+
+class TestShardedTableInference:
+    def test_grid_eval_matches_unsharded(self, mesh8):
+        """Dense-grid inference with the table still sharded must equal the
+        standard evaluate_grid on the unsharded params."""
+        from mri_interpolation_tpu.infer import evaluate_grid
+        from mri_interpolation_tpu.parallel.sharded_table import (
+            evaluate_grid_sharded_table,
+        )
+
+        vol = synthetic_volume((12, 12, 8), seed=9)
+        ds = dataset_from_array(vol)
+        model = make_hash_mlp(
+            dim_in=3, n_levels=4, n_features_per_level=2, log2_hashmap_size=16,
+            base_resolution=(4, 4, 2), finest_resolution=(32, 32, 12), storage="auto",
+            dim_hidden=16, n_layers=2, decoder="relu_plain", fused="off")
+        cfg = TrainConfig(batch_size=384, epochs=1, lr=5e-3, seed=0)
+        res = ShardedHashTrainer(cfg, mesh=mesh8).fit(model, ds.coords, ds.values)
+
+        enc = model.hparams["encoder"]
+        plan = plan_table_sharding(enc, 8)
+        shards = shard_table(np.asarray(res.params["encoder"]["table"]), enc, plan)
+        dec_params = {k: v for k, v in res.params.items() if k != "encoder"}
+        shape = (10, 11, 9)
+        got = evaluate_grid_sharded_table(model, plan, mesh8, shards, dec_params,
+                                          res.state, shape, chunk_size=128)
+        want = evaluate_grid(model, res.params, res.state, shape, chunk_size=128)
+        np.testing.assert_allclose(got, want, atol=1e-5)
