@@ -4,6 +4,14 @@ and serving export."""
 from .grid import evaluate_grid, flat_index_to_coords, predict_batched
 from .classical import linear_interpolate_volume
 from .export import export_evaluator_bytes, load_evaluator, save_evaluator
+from .registration import (
+    group_motion_upsample,
+    motion_compensated_upsample,
+    register_group_temporal,
+    register_pair,
+    synthesize_frame,
+    warp_frame,
+)
 
 __all__ = [
     "evaluate_grid",
@@ -13,4 +21,10 @@ __all__ = [
     "save_evaluator",
     "load_evaluator",
     "export_evaluator_bytes",
+    "register_pair",
+    "register_group_temporal",
+    "synthesize_frame",
+    "warp_frame",
+    "motion_compensated_upsample",
+    "group_motion_upsample",
 ]

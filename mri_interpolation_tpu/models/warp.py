@@ -192,4 +192,8 @@ def make_warp_inr(
 
     return Model(init=init, apply=apply, dim_in=dim_in, dim_out=dim_out, name="warp_inr",
                  hparams={"lr": lr, "warp_scale": warp_scale, "warp_w0": warp_w0,
-                          "encoder": encoder}, loss_fn=loss_fn)
+                          "encoder": encoder,
+                          # d(x, t) itself — consumed by the motion-transfer
+                          # interpolator (infer/registration.py), which pairs
+                          # the INR's deformation with DATA-space appearance
+                          "warp_field": warp_field}, loss_fn=loss_fn)

@@ -22,7 +22,27 @@ from ..models.core import Model
 from .trainer import TrainConfig, Trainer, TrainResult
 
 __all__ = ["two_phase_hash_fit", "even_frame_fit_eval", "key_frame_subset",
-           "undersampled_fit_eval", "ensembled_warp_fit_eval"]
+           "undersampled_fit_eval", "ensembled_warp_fit_eval",
+           "registration_interp_eval"]
+
+
+def registration_interp_eval(image: np.ndarray, **reg_kwargs) -> Tuple[np.ndarray, dict]:
+    """Even-frame protocol scored for the pairwise-registration interpolator
+    (infer/registration.py): observed even frames pass through exactly, each
+    held-out odd frame is the motion-compensated midpoint of its neighbors.
+    Returns (reconstruction, {"full": metrics, "odd": metrics}) on the same
+    metric basis as :func:`even_frame_fit_eval`."""
+    from ..infer.registration import motion_compensated_upsample
+
+    train_img, odd_img = even_frame_split(image)
+    recon = motion_compensated_upsample(train_img, image.shape[-1], **reg_kwargs)
+    full_q = evaluate_reconstruction(
+        jax.numpy.asarray(recon), jax.numpy.asarray(image), data_range=1.0)
+    odd_pred = recon[..., 1::2]
+    odd_q = evaluate_reconstruction(
+        jax.numpy.asarray(odd_pred[..., : odd_img.shape[-1]]),
+        jax.numpy.asarray(odd_img), data_range=1.0)
+    return recon, {"full": full_q, "odd": odd_q}
 
 
 def key_frame_subset(

@@ -1,0 +1,120 @@
+"""Tests for infer/registration.py — motion-compensated temporal interpolation.
+
+New capability beyond the reference (whose temporal tools are the ITK linear
+resampler, reference interp.py:46-50, and direct INR fits): symmetric pairwise
+/ group registration of frames with midpoint synthesis.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mri_interpolation_tpu.infer.registration import (
+    warp_frame,
+    register_pair,
+    synthesize_frame,
+    register_even_frames,
+    motion_compensated_upsample,
+    register_group_temporal,
+    group_motion_upsample,
+)
+
+
+def _blob(shape, center, sigma=0.12):
+    """Smooth Gaussian blob on a [0,1]^d grid (registration-friendly)."""
+    axes = [np.linspace(0.0, 1.0, s, dtype=np.float32) for s in shape]
+    grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
+    d2 = np.sum((grid - np.asarray(center, np.float32)) ** 2, axis=-1)
+    return np.exp(-d2 / (2.0 * sigma**2)).astype(np.float32)
+
+
+def test_warp_zero_displacement_is_identity():
+    frame = _blob((32, 32), (0.4, 0.6))
+    disp = jnp.zeros((32, 32, 2), jnp.float32)
+    out = np.asarray(warp_frame(jnp.asarray(frame), disp))
+    np.testing.assert_allclose(out, frame, atol=1e-6)
+
+
+def test_warp_constant_shift_moves_blob():
+    # Displacement +0.25 along axis 0: output(x) = frame(x + 0.25) — the
+    # blob APPEARS shifted toward smaller indices.
+    frame = _blob((64, 64), (0.5, 0.5))
+    disp = jnp.zeros((64, 64, 2), jnp.float32).at[..., 0].set(0.25)
+    out = np.asarray(warp_frame(jnp.asarray(frame), disp))
+    expected = _blob((64, 64), (0.25, 0.5))
+    assert np.mean((out - expected) ** 2) < 1e-4
+
+
+def test_synthesize_frame_endpoints():
+    a = _blob((48, 48), (0.35, 0.5))
+    b = _blob((48, 48), (0.65, 0.5))
+    ctrl = register_pair(a, b, ctrl_sizes=(4, 8), pyramid=(2, 1), steps=60)
+    at_0 = np.asarray(synthesize_frame(a, b, ctrl, tau=0.0))
+    at_1 = np.asarray(synthesize_frame(a, b, ctrl, tau=1.0))
+    np.testing.assert_allclose(at_0, a, atol=1e-5)
+    np.testing.assert_allclose(at_1, b, atol=1e-5)
+
+
+def test_register_pair_beats_crossfade_on_translation():
+    # Midpoint of a moving blob: motion-compensated synthesis must beat the
+    # 50/50 cross-fade (which ghosts two half-intensity blobs).
+    a = _blob((64, 64), (0.38, 0.5))
+    b = _blob((64, 64), (0.62, 0.5))
+    true_mid = _blob((64, 64), (0.5, 0.5))
+    ctrl = register_pair(a, b, ctrl_sizes=(4, 8), pyramid=(2, 1), steps=150)
+    mid = np.asarray(synthesize_frame(a, b, ctrl, tau=0.5))
+    mse_reg = float(np.mean((mid - true_mid) ** 2))
+    mse_fade = float(np.mean((0.5 * (a + b) - true_mid) ** 2))
+    assert mse_reg < 0.3 * mse_fade, (mse_reg, mse_fade)
+
+
+def _moving_sequence(t_full=9, shape=(48, 48)):
+    centers = [(0.3 + 0.04 * t, 0.5) for t in range(t_full)]
+    return np.stack([_blob(shape, c) for c in centers], axis=-1)
+
+
+def test_motion_compensated_upsample_passthrough_and_quality():
+    img = _moving_sequence()
+    even = img[..., ::2]
+    recon = motion_compensated_upsample(
+        even, img.shape[-1], ctrl_sizes=(4, 8), pyramid=(2, 1), steps=120)
+    assert recon.shape == img.shape
+    # observed frames pass through exactly
+    np.testing.assert_allclose(recon[..., ::2], even, atol=0)
+    # held-out frames: compensated midpoint beats the cross-fade
+    fade = 0.5 * (even[..., :-1] + even[..., 1:])
+    mse_reg = float(np.mean((recon[..., 1::2] - img[..., 1::2]) ** 2))
+    mse_fade = float(np.mean((fade - img[..., 1::2]) ** 2))
+    assert mse_reg < 0.5 * mse_fade, (mse_reg, mse_fade)
+
+
+def test_group_motion_upsample_matches_api_and_beats_fade():
+    img = _moving_sequence()
+    even = img[..., ::2]
+    ctrl = register_group_temporal(
+        even, ctrl_sizes=(4, 8), pyramid=(2, 1), steps=150)
+    assert ctrl.shape[0] == even.shape[-1]
+    recon = group_motion_upsample(even, img.shape[-1], ctrl=ctrl)
+    assert recon.shape == img.shape
+    np.testing.assert_allclose(recon[..., ::2], even, atol=0)
+    fade = 0.5 * (even[..., :-1] + even[..., 1:])
+    mse_reg = float(np.mean((recon[..., 1::2] - img[..., 1::2]) ** 2))
+    mse_fade = float(np.mean((fade - img[..., 1::2]) ** 2))
+    assert mse_reg < mse_fade, (mse_reg, mse_fade)
+
+
+def test_upsample_rejects_incompatible_t():
+    even = _moving_sequence()[..., ::2]
+    with pytest.raises(ValueError):
+        motion_compensated_upsample(even, 42)
+
+
+def test_registration_interp_eval_protocol():
+    from mri_interpolation_tpu.train.protocols import registration_interp_eval
+
+    img = _moving_sequence()
+    recon, q = registration_interp_eval(
+        img, ctrl_sizes=(4, 8), pyramid=(2, 1), steps=60)
+    assert recon.shape == img.shape
+    assert set(q) == {"full", "odd"}
+    assert np.isfinite(q["odd"]["psnr"]) and q["odd"]["psnr"] > 10.0
