@@ -1,0 +1,266 @@
+"""Stacked temporal interpolation: honest fusion of decorrelated predictors.
+
+The even-frame protocol (reference hash_experimentation.py:313-317) asks for
+held-out odd frames from observed even frames. The framework has several
+predictor FAMILIES with decorrelated errors:
+
+- ``warp``          motion-compensated warp-INR ensemble (models/warp.py),
+                    temporal-acceleration prior on (favors smooth motion)
+- ``warp_noaccel``  same, prior off + higher temporal frequency — better at
+                    motion extrema, worse elsewhere
+- ``warp_distill``  warp-INR ensemble trained WITH pseudo-labels at the
+                    unobserved times from the registration teacher
+- ``registration``  pairwise symmetric registration midpoint
+                    (infer/registration.py) — data-space appearance
+- ``linear``        classical cross-fade (the reference's interp.py baseline)
+
+Their fusion weights must NOT be tuned on the held-out odd frames. This
+module selects them honestly by leave-one-even-frame-out (LOO) validation:
+hold out each interior EVEN frame, fit every family on the rest, predict the
+held-out frame, and fit simplex-constrained per-position weights on those
+fold errors (shrunk toward the global weights; interpolated from even fold
+positions to the odd deployment positions). The deployment fusion then uses
+only even-frame information end to end.
+
+A family is a callable ``family(train_frames, t_keep, t_eval) -> pred`` with
+``train_frames (spatial..., len(t_keep))``, normalized frame times ``t_keep``
+/ ``t_eval`` in [0, 1], returning ``(spatial..., len(t_eval))``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Mapping, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..io.volume import even_frame_split, make_mgrid
+from ..metrics import evaluate_reconstruction
+from .trainer import TrainConfig, Trainer
+
+__all__ = [
+    "default_interp_families",
+    "simplex_lstsq",
+    "loo_fold_predictions",
+    "stacked_interp_eval",
+]
+
+FamilyFn = Callable[[np.ndarray, np.ndarray, np.ndarray], np.ndarray]
+
+
+def _coords_for_frames(spatial_shape, t_vals):
+    grid = make_mgrid(spatial_shape, 0.0, 1.0).reshape(-1, len(spatial_shape))
+    return np.concatenate([
+        np.concatenate([grid, np.full((grid.shape[0], 1), t, np.float32)], axis=1)
+        for t in t_vals])
+
+
+def _warp_family(config: TrainConfig, seeds: Sequence[int], eval_shape,
+                 distill: bool = False, distill_ratio: float = 0.25,
+                 **warp_kwargs) -> FamilyFn:
+    """Seed-ensembled warp-INR family. ``eval_shape`` is the full-volume
+    shape whose last axis defines the t grid the INR is evaluated on
+    (t_eval values must lie on it)."""
+    from ..infer import evaluate_grid
+    from ..models import make_warp_inr
+
+    t_n = eval_shape[-1]
+
+    def family(train_frames, t_keep, t_eval):
+        spatial = train_frames.shape[:-1]
+        coords = _coords_for_frames(spatial, t_keep)
+        values = np.moveaxis(train_frames, -1, 0).reshape(-1, 1)
+        if distill:
+            teacher = _registration_family()
+            mids = 0.5 * (np.asarray(t_keep[:-1]) + np.asarray(t_keep[1:]))
+            ps_pred = teacher(train_frames, t_keep, mids)
+            ps_c = _coords_for_frames(spatial, mids)
+            ps_v = np.moveaxis(ps_pred, -1, 0).reshape(-1, 1)
+            rng = np.random.default_rng(0)
+            idx = rng.choice(ps_c.shape[0], int(distill_ratio * ps_c.shape[0]),
+                             replace=False)
+            coords = np.concatenate([coords, ps_c[idx]])
+            values = np.concatenate([values, ps_v[idx]])
+        recons = []
+        for seed in seeds:
+            model = make_warp_inr(dim_in=len(spatial) + 1, **warp_kwargs)
+            res = Trainer(dataclasses.replace(config, seed=seed)).fit(model, coords, values)
+            recons.append(np.asarray(evaluate_grid(model, res.params, res.state, eval_shape)))
+        mean = np.mean(recons, axis=0)
+        idxs = [int(round(t * (t_n - 1))) for t in np.asarray(t_eval)]
+        return np.stack([mean[..., i] for i in idxs], axis=-1)
+
+    return family
+
+
+def _registration_family(**reg_kwargs) -> FamilyFn:
+    from ..infer.registration import register_pair, synthesize_frame
+
+    def family(train_frames, t_keep, t_eval):
+        t_keep = np.asarray(t_keep, np.float64)
+        out = []
+        cache = {}
+        for t in np.asarray(t_eval, np.float64):
+            j = int(np.searchsorted(t_keep, t) - 1)
+            j = min(max(j, 0), len(t_keep) - 2)
+            a, b = train_frames[..., j], train_frames[..., j + 1]
+            if j not in cache:
+                cache[j] = register_pair(a, b, **reg_kwargs)
+            tau = float((t - t_keep[j]) / (t_keep[j + 1] - t_keep[j]))
+            out.append(np.asarray(synthesize_frame(a, b, cache[j], tau=tau)))
+        return np.stack(out, axis=-1)
+
+    return family
+
+
+def _linear_family() -> FamilyFn:
+    def family(train_frames, t_keep, t_eval):
+        t_keep = np.asarray(t_keep, np.float64)
+        out = []
+        for t in np.asarray(t_eval, np.float64):
+            j = int(np.searchsorted(t_keep, t) - 1)
+            j = min(max(j, 0), len(t_keep) - 2)
+            tau = float((t - t_keep[j]) / (t_keep[j + 1] - t_keep[j]))
+            out.append((1 - tau) * train_frames[..., j] + tau * train_frames[..., j + 1])
+        return np.stack(out, axis=-1)
+
+    return family
+
+
+def default_interp_families(
+    config: TrainConfig,
+    eval_shape: Sequence[int],
+    seeds: Sequence[int] = (1337, 7, 23, 99),
+    **warp_kwargs,
+) -> Dict[str, FamilyFn]:
+    """The measured family set for the ankle workload (see RESULTS.md)."""
+    base = dict(n_levels=4, n_features_per_level=4, log2_hashmap_size=23,
+                dim_hidden=64, n_layers=2, warp_hidden=64, warp_layers=3,
+                warp_scale=0.05, residual_scale=0.05)
+    base.update(warp_kwargs)
+    spatial = tuple(eval_shape[:-1])
+    base.setdefault("base_resolution", tuple(min(64, s) for s in spatial))
+    base.setdefault("finest_resolution", spatial)
+    return {
+        "warp": _warp_family(config, seeds, eval_shape,
+                             warp_w0=5.0, warp_accel=1.0, **base),
+        "warp_noaccel": _warp_family(config, seeds, eval_shape,
+                                     warp_w0=6.0, warp_accel=0.0, **base),
+        "warp_distill": _warp_family(config, seeds, eval_shape, distill=True,
+                                     warp_w0=5.0, warp_accel=1.0, **base),
+        "registration": _registration_family(),
+        "linear": _linear_family(),
+    }
+
+
+def simplex_lstsq(preds: np.ndarray, target: np.ndarray,
+                  iters: int = 500, lr: float = 0.5) -> np.ndarray:
+    """min_w ||sum_f w_f preds_f - target||^2, w >= 0, sum w = 1.
+
+    Tiny projected-gradient solve (F is ~5); deterministic, no scipy.
+    ``preds``: (F, N), ``target``: (N,).
+    """
+    F = preds.shape[0]
+    w = np.full((F,), 1.0 / F)
+    G = preds @ preds.T / preds.shape[1]          # (F, F)
+    b = preds @ target / preds.shape[1]           # (F,)
+    scale = max(np.trace(G) / F, 1e-12)
+    for _ in range(iters):
+        grad = (G @ w - b) / scale
+        w = w - lr * grad
+        # project onto the simplex (Duchi et al. 2008)
+        u = np.sort(w)[::-1]
+        css = np.cumsum(u) - 1.0
+        rho = np.nonzero(u - css / (np.arange(F) + 1) > 0)[0][-1]
+        w = np.maximum(w - css[rho] / (rho + 1.0), 0.0)
+    return w
+
+
+def loo_fold_predictions(
+    train_frames: np.ndarray,
+    t_keep: np.ndarray,
+    families: Mapping[str, FamilyFn],
+) -> Tuple[list, list]:
+    """Hold out each interior kept frame; fit every family on the rest and
+    predict it. Returns (folds, names): folds is a list of
+    ``(held_position, preds (F, spatial...), target (spatial...))``."""
+    names = list(families)
+    folds = []
+    n = train_frames.shape[-1]
+    for k in range(1, n - 1):
+        keep = [j for j in range(n) if j != k]
+        sub = train_frames[..., keep]
+        tk = np.asarray([t_keep[j] for j in keep])
+        te = np.asarray([t_keep[k]])
+        preds = np.stack([
+            families[name](sub, tk, te)[..., 0] for name in names
+        ])
+        folds.append((t_keep[k], preds, train_frames[..., k]))
+    return folds, names
+
+
+def stacked_interp_eval(
+    image: np.ndarray,
+    config: TrainConfig,
+    families: Optional[Mapping[str, FamilyFn]] = None,
+    seeds: Sequence[int] = (1337, 7, 23, 99),
+    shrink: float = 0.5,
+    loo: bool = True,
+    **warp_kwargs,
+) -> Tuple[np.ndarray, dict]:
+    """Even-frame protocol scored for the LOO-stacked fusion.
+
+    1. fit every family on ALL even frames; predict the odd times;
+    2. (``loo=True``) run the LOO folds, solve global + per-position simplex
+       weights on fold errors, shrink per-position toward global, interpolate
+       even fold positions -> odd deployment positions;
+    3. fuse and score. No odd-frame ground truth enters steps 1-2.
+
+    Returns (reconstruction, {"full": ..., "odd": ..., "weights": {...}}).
+    """
+    train_img, odd_img = even_frame_split(image)
+    t_full = image.shape[-1]
+    n_even = train_img.shape[-1]
+    t_keep = np.asarray([2 * j / (t_full - 1) for j in range(n_even)])
+    t_odd = np.asarray([(2 * j + 1) / (t_full - 1) for j in range(odd_img.shape[-1])])
+    if families is None:
+        families = default_interp_families(config, image.shape, seeds, **warp_kwargs)
+    names = list(families)
+
+    deploy = np.stack([families[n](train_img, t_keep, t_odd) for n in names])
+
+    if loo and n_even >= 3:
+        folds, _ = loo_fold_predictions(train_img, t_keep, families)
+        all_p = np.concatenate([p.reshape(len(names), -1) for _, p, _ in folds], axis=1)
+        all_t = np.concatenate([t.reshape(-1) for _, _, t in folds])
+        w_global = simplex_lstsq(all_p, all_t)
+        pos, w_pos = [], []
+        for t_held, p, t in folds:
+            wk = simplex_lstsq(p.reshape(len(names), -1), t.reshape(-1))
+            pos.append(t_held)
+            w_pos.append(shrink * w_global + (1.0 - shrink) * wk)
+        pos = np.asarray(pos)
+        w_pos = np.stack(w_pos)                     # (n_folds, F)
+        # interpolate weights to the odd positions, then re-project
+        w_odd = np.stack([
+            np.interp(t_odd, pos, w_pos[:, f]) for f in range(len(names))
+        ], axis=-1)
+        w_odd = np.maximum(w_odd, 0.0)
+        w_odd /= w_odd.sum(axis=-1, keepdims=True)
+        weights = {"global": dict(zip(names, map(float, w_global))),
+                   "per_position": {float(t): dict(zip(names, map(float, w)))
+                                    for t, w in zip(t_odd, w_odd)}}
+    else:
+        w_odd = np.full((len(t_odd), len(names)), 1.0 / len(names))
+        weights = {"global": dict(zip(names, [1.0 / len(names)] * len(names)))}
+
+    fused_odd = np.einsum("f...t,tf->...t", deploy, w_odd)
+    recon = np.zeros(image.shape, np.float32)
+    recon[..., ::2] = train_img
+    recon[..., 1::2] = fused_odd
+    full_q = evaluate_reconstruction(jax.numpy.asarray(recon), jax.numpy.asarray(image),
+                                     data_range=1.0)
+    odd_q = evaluate_reconstruction(jax.numpy.asarray(fused_odd), jax.numpy.asarray(odd_img),
+                                    data_range=1.0)
+    return recon, {"full": full_q, "odd": odd_q, "weights": weights}

@@ -1,0 +1,77 @@
+"""Tests for train/stacking.py — LOO-stacked temporal interpolation."""
+
+import numpy as np
+
+from mri_interpolation_tpu.train import TrainConfig
+from mri_interpolation_tpu.train.stacking import (
+    loo_fold_predictions,
+    simplex_lstsq,
+    stacked_interp_eval,
+)
+from mri_interpolation_tpu.train.stacking import _linear_family, _registration_family
+
+
+def _blob(shape, center, sigma=0.12):
+    axes = [np.linspace(0.0, 1.0, s, dtype=np.float32) for s in shape]
+    grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
+    d2 = np.sum((grid - np.asarray(center, np.float32)) ** 2, axis=-1)
+    return np.exp(-d2 / (2.0 * sigma**2)).astype(np.float32)
+
+
+def _moving_sequence(t_full=9, shape=(48, 48)):
+    return np.stack([_blob(shape, (0.3 + 0.04 * t, 0.5)) for t in range(t_full)], axis=-1)
+
+
+def test_simplex_lstsq_recovers_mixture():
+    rng = np.random.default_rng(0)
+    basis = rng.normal(size=(3, 500))
+    w_true = np.asarray([0.6, 0.4, 0.0])
+    target = w_true @ basis
+    w = simplex_lstsq(basis, target)
+    assert np.all(w >= -1e-9) and abs(w.sum() - 1.0) < 1e-6
+    np.testing.assert_allclose(w, w_true, atol=0.05)
+
+
+def test_simplex_lstsq_prefers_better_predictor():
+    rng = np.random.default_rng(1)
+    target = rng.normal(size=1000)
+    good = target + 0.01 * rng.normal(size=1000)
+    bad = target + 1.0 * rng.normal(size=1000)
+    w = simplex_lstsq(np.stack([good, bad]), target)
+    assert w[0] > 0.9
+
+
+def test_loo_fold_predictions_shapes():
+    img = _moving_sequence()
+    even = img[..., ::2]
+    t_keep = np.asarray([2 * j / (img.shape[-1] - 1) for j in range(even.shape[-1])])
+    fams = {"linear": _linear_family()}
+    folds, names = loo_fold_predictions(even, t_keep, fams)
+    assert names == ["linear"]
+    assert len(folds) == even.shape[-1] - 2
+    for t_held, preds, target in folds:
+        assert preds.shape == (1,) + even.shape[:-1]
+        assert target.shape == even.shape[:-1]
+
+
+def test_stacked_interp_eval_picks_registration_on_motion():
+    # On a translating blob, registration crushes cross-fade; the honest
+    # LOO-stacked fusion must discover that and score near the best family.
+    img = _moving_sequence()
+    fams = {
+        "registration": _registration_family(ctrl_sizes=(4, 8), pyramid=(2, 1), steps=120),
+        "linear": _linear_family(),
+    }
+    recon, q = stacked_interp_eval(img, TrainConfig(epochs=1), families=fams)
+    assert recon.shape == img.shape
+    np.testing.assert_allclose(recon[..., ::2], img[..., ::2], atol=0)
+    w = q["weights"]["global"]
+    assert abs(sum(w.values()) - 1.0) < 1e-6
+    assert w["registration"] > 0.6, w
+    # fused prediction at least as good as the linear baseline
+    lin = fams["linear"](img[..., ::2],
+                         np.asarray([2 * j / 8 for j in range(5)]),
+                         np.asarray([(2 * j + 1) / 8 for j in range(4)]))
+    mse_f = float(np.mean((recon[..., 1::2] - img[..., 1::2]) ** 2))
+    mse_l = float(np.mean((lin - img[..., 1::2]) ** 2))
+    assert mse_f < mse_l
