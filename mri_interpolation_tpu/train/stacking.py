@@ -30,6 +30,7 @@ A family is a callable ``family(train_frames, t_keep, t_eval) -> pred`` with
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Dict, Mapping, Optional, Sequence, Tuple
 
 import jax
@@ -177,10 +178,27 @@ def simplex_lstsq(preds: np.ndarray, target: np.ndarray,
     return w
 
 
+def _cached_call(cache_dir: Optional[str], key: str, fn):
+    """Disk-memoized family prediction: the full stacked protocol is ~80
+    warp-INR fits; a transient device error mid-run must not lose them."""
+    if cache_dir is None:
+        return fn()
+    path = os.path.join(cache_dir, key + ".npy")
+    if os.path.exists(path):
+        return np.load(path)
+    out = np.asarray(fn())
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = path[:-len(".npy")] + ".tmp.npy"
+    np.save(tmp, out)
+    os.replace(tmp, path)
+    return out
+
+
 def loo_fold_predictions(
     train_frames: np.ndarray,
     t_keep: np.ndarray,
     families: Mapping[str, FamilyFn],
+    cache_dir: Optional[str] = None,
 ) -> Tuple[list, list]:
     """Hold out each interior kept frame; fit every family on the rest and
     predict it. Returns (folds, names): folds is a list of
@@ -194,7 +212,9 @@ def loo_fold_predictions(
         tk = np.asarray([t_keep[j] for j in keep])
         te = np.asarray([t_keep[k]])
         preds = np.stack([
-            families[name](sub, tk, te)[..., 0] for name in names
+            _cached_call(cache_dir, f"fold{k}_{name}",
+                         lambda name=name: families[name](sub, tk, te)[..., 0])
+            for name in names
         ])
         folds.append((t_keep[k], preds, train_frames[..., k]))
     return folds, names
@@ -207,6 +227,7 @@ def stacked_interp_eval(
     seeds: Sequence[int] = (1337, 7, 23, 99),
     shrink: float = 0.5,
     loo: bool = True,
+    cache_dir: Optional[str] = None,
     **warp_kwargs,
 ) -> Tuple[np.ndarray, dict]:
     """Even-frame protocol scored for the LOO-stacked fusion.
@@ -228,10 +249,14 @@ def stacked_interp_eval(
         families = default_interp_families(config, image.shape, seeds, **warp_kwargs)
     names = list(families)
 
-    deploy = np.stack([families[n](train_img, t_keep, t_odd) for n in names])
+    deploy = np.stack([
+        _cached_call(cache_dir, f"deploy_{n}",
+                     lambda n=n: families[n](train_img, t_keep, t_odd))
+        for n in names
+    ])
 
     if loo and n_even >= 3:
-        folds, _ = loo_fold_predictions(train_img, t_keep, families)
+        folds, _ = loo_fold_predictions(train_img, t_keep, families, cache_dir)
         all_p = np.concatenate([p.reshape(len(names), -1) for _, p, _ in folds], axis=1)
         all_t = np.concatenate([t.reshape(-1) for _, _, t in folds])
         w_global = simplex_lstsq(all_p, all_t)

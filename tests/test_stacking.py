@@ -54,6 +54,30 @@ def test_loo_fold_predictions_shapes():
         assert target.shape == even.shape[:-1]
 
 
+def test_cache_dir_resumes_without_recomputation(tmp_path):
+    # Family predictions are disk-memoized: a second run must reload the
+    # cached arrays (bit-identical result) and never call the family again.
+    img = _moving_sequence(t_full=7)
+    calls = {"n": 0}
+    lin = _linear_family()
+
+    def counting(train_frames, t_keep, t_eval):
+        calls["n"] += 1
+        return lin(train_frames, t_keep, t_eval)
+
+    fams = {"linear": counting}
+    cache = str(tmp_path / "stack_cache")
+    recon1, q1 = stacked_interp_eval(img, TrainConfig(epochs=1), families=fams,
+                                     cache_dir=cache)
+    n_first = calls["n"]
+    assert n_first > 0
+    recon2, q2 = stacked_interp_eval(img, TrainConfig(epochs=1), families=fams,
+                                     cache_dir=cache)
+    assert calls["n"] == n_first  # everything served from cache
+    np.testing.assert_array_equal(recon1, recon2)
+    assert q1["odd"]["psnr"] == q2["odd"]["psnr"]
+
+
 def test_stacked_interp_eval_picks_registration_on_motion():
     # On a translating blob, registration crushes cross-fade; the honest
     # LOO-stacked fusion must discover that and score near the best family.
