@@ -45,6 +45,7 @@ __all__ = [
     "motion_compensated_upsample",
     "register_group_temporal",
     "group_motion_upsample",
+    "group_synthesize_at",
 ]
 
 
@@ -215,7 +216,8 @@ def synthesize_frame_accel(
 
 
 @partial(jax.jit, static_argnames=("steps",))
-def _register_group_stage(frames, ctrl0, lr, smooth_s, smooth_t, steps: int):
+def _register_group_stage(frames, ctrl0, lr, smooth_s, smooth_t, steps: int,
+                          rel_dt=None):
     """One coarse-to-fine stage of the GROUP temporal registration.
 
     ``frames``: (T, S...) stack; ``ctrl0``: (T, G..., D) per-time control
@@ -224,6 +226,10 @@ def _register_group_stage(frames, ctrl0, lr, smooth_s, smooth_t, steps: int):
     canonical space. The temporal second-difference penalty ties the
     per-time fields into one coherent trajectory (and fixes the per-pair
     gauge that independent pairwise registrations each choose arbitrarily).
+    ``rel_dt`` (T-1,) are the knot intervals relative to their mean — the
+    penalty becomes the non-uniform discrete second derivative, so unevenly
+    spaced frames (the stacking protocol's LOO folds) are allowed
+    proportionally more motion across wider gaps. ``None`` == uniform.
     """
     T = frames.shape[0]
     shape = frames.shape[1:]
@@ -241,7 +247,12 @@ def _register_group_stage(frames, ctrl0, lr, smooth_s, smooth_t, steps: int):
             if ctrl.shape[k] > 1:
                 d = jnp.diff(ctrl, axis=k)
                 reg = reg + jnp.mean(d * d)
-        tdiff = ctrl[2:] - 2.0 * ctrl[1:-1] + ctrl[:-2]
+        if rel_dt is None:
+            tdiff = ctrl[2:] - 2.0 * ctrl[1:-1] + ctrl[:-2]
+        else:
+            r = rel_dt.reshape((T - 1,) + (1,) * (ctrl.ndim - 1))
+            vel = (ctrl[1:] - ctrl[:-1]) / r
+            tdiff = (vel[1:] - vel[:-1]) / (0.5 * (r[1:] + r[:-1]))
         gauge = jnp.mean(ctrl * ctrl)
         return data + smooth_s * reg + smooth_t * jnp.mean(tdiff * tdiff) + 1e-4 * gauge
 
@@ -266,6 +277,7 @@ def register_group_temporal(
     smooth_s: float = 1e-2,
     smooth_t: float = 1e-1,
     thin_axis_cap: int = 4,
+    t_knots: Sequence[float] | None = None,
 ) -> jnp.ndarray:
     """Jointly register an (spatial..., T) stack into a shared canonical
     space: returns per-time control fields (T, G..., D) in normalized units.
@@ -284,6 +296,11 @@ def register_group_temporal(
     ndim = len(shape)
     extent = max(shape)
 
+    rel_dt = None
+    if t_knots is not None:
+        dt = np.diff(np.asarray(t_knots, np.float32))
+        rel_dt = jnp.asarray(dt / dt.mean())
+
     ctrl = None
     for size, factor in zip(ctrl_sizes, pyramid):
         gshape = tuple(
@@ -296,7 +313,8 @@ def register_group_temporal(
             ctrl = jax.image.resize(ctrl, (T,) + gshape + (ndim,), method="linear")
         fl = jnp.stack([_resize_frame(stack[k], factor) for k in range(T)])
         ctrl, _ = _register_group_stage(
-            fl, ctrl, jnp.float32(lr), jnp.float32(smooth_s), jnp.float32(smooth_t), steps)
+            fl, ctrl, jnp.float32(lr), jnp.float32(smooth_s), jnp.float32(smooth_t),
+            steps, rel_dt)
     return ctrl
 
 
@@ -349,6 +367,61 @@ def group_motion_upsample(
     if t_full == 2 * T:
         out[..., -1] = even[..., -1]
     return out
+
+
+def group_synthesize_at(
+    frames: np.ndarray,
+    t_knots: Sequence[float],
+    t_eval: Sequence[float],
+    ctrl: jnp.ndarray | None = None,
+    **kwargs,
+) -> np.ndarray:
+    """Synthesize frames at ARBITRARY times from the group registration.
+
+    Generalizes :func:`group_motion_upsample` beyond the uniform even/odd
+    midpoint layout (needed by the stacking protocol's LOO folds, where the
+    kept frames are unevenly spaced): the per-knot fields d_k sample one
+    motion trajectory; d(t) is interpolated with a finite-difference cubic
+    Hermite over the (non-uniform) knot times — the uniform-midpoint case
+    reduces exactly to the Catmull-Rom of :func:`group_motion_upsample` —
+    and the two bracketing observed frames are warped to the interpolated
+    position in canonical space and cross-faded:
+
+        F̂_t(y) = (1-s) F_k(y - d_t(y) + d_k(y)) + s F_{k+1}(y - d_t(y) + d_{k+1}(y))
+
+    ``frames``: (spatial..., T_kept); returns (spatial..., len(t_eval)).
+    """
+    t_knots = np.asarray(t_knots, np.float64)
+    if ctrl is None:
+        ctrl = register_group_temporal(frames, t_knots=t_knots, **kwargs)
+    shape = frames.shape[:-1]
+    grid = _base_grid(shape)
+    T = frames.shape[-1]
+    fields = [_field_to_grid(ctrl[k], shape) for k in range(T)]
+
+    out = []
+    for t in np.asarray(t_eval, np.float64):
+        j = int(np.searchsorted(t_knots, t) - 1)
+        j = min(max(j, 0), T - 2)
+        t1, t2 = t_knots[j], t_knots[j + 1]
+        h = t2 - t1
+        s = float((t - t1) / h)
+        d1, d2 = fields[j], fields[j + 1]
+        # finite-difference tangents, scaled to the segment (non-uniform
+        # Catmull-Rom); one-sided at the ends
+        m1 = ((d2 - fields[j - 1]) * (h / (t2 - t_knots[j - 1]))
+              if j > 0 else d2 - d1)
+        m2 = ((fields[j + 2] - d1) * (h / (t_knots[j + 2] - t1))
+              if j + 2 < T else d2 - d1)
+        h00 = 2 * s**3 - 3 * s**2 + 1
+        h10 = s**3 - 2 * s**2 + s
+        h01 = -2 * s**3 + 3 * s**2
+        h11 = s**3 - s**2
+        dmid = h00 * d1 + h10 * m1 + h01 * d2 + h11 * m2
+        fa = _sample(jnp.asarray(frames[..., j]), grid - dmid + d1)
+        fb = _sample(jnp.asarray(frames[..., j + 1]), grid - dmid + d2)
+        out.append(np.asarray((1.0 - s) * fa + s * fb))
+    return np.stack(out, axis=-1)
 
 
 def register_even_frames(even: np.ndarray, **kwargs) -> list:

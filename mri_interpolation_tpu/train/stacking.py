@@ -12,6 +12,10 @@ predictor FAMILIES with decorrelated errors:
                     unobserved times from the registration teacher
 - ``registration``  pairwise symmetric registration midpoint
                     (infer/registration.py) — data-space appearance
+- ``registration_group``  group temporal registration: one coherent motion
+                    trajectory over all kept frames, cubic-Hermite sampled
+                    at the eval times (captures curvature the pairwise
+                    midpoint cannot)
 - ``linear``        classical cross-fade (the reference's interp.py baseline)
 
 Their fusion weights must NOT be tuned on the held-out odd frames. This
@@ -115,6 +119,20 @@ def _registration_family(**reg_kwargs) -> FamilyFn:
     return family
 
 
+def _registration_group_family(**reg_kwargs) -> FamilyFn:
+    """Group temporal registration: one coherent motion trajectory over the
+    kept frames, sampled at the eval times by cubic Hermite interpolation of
+    the per-knot fields (infer/registration.py:group_synthesize_at). Unlike
+    the pairwise family, trajectory curvature across neighbors informs the
+    in-gap motion."""
+    from ..infer.registration import group_synthesize_at
+
+    def family(train_frames, t_keep, t_eval):
+        return group_synthesize_at(train_frames, t_keep, t_eval, **reg_kwargs)
+
+    return family
+
+
 def _linear_family() -> FamilyFn:
     def family(train_frames, t_keep, t_eval):
         t_keep = np.asarray(t_keep, np.float64)
@@ -151,6 +169,7 @@ def default_interp_families(
         "warp_distill": _warp_family(config, seeds, eval_shape, distill=True,
                                      warp_w0=5.0, warp_accel=1.0, **base),
         "registration": _registration_family(),
+        "registration_group": _registration_group_family(),
         "linear": _linear_family(),
     }
 

@@ -103,6 +103,46 @@ def test_group_motion_upsample_matches_api_and_beats_fade():
     assert mse_reg < mse_fade, (mse_reg, mse_fade)
 
 
+def test_group_synthesize_at_matches_uniform_upsample_interior():
+    # On the uniform even/odd-midpoint layout, the generalized Hermite
+    # synthesis must reproduce group_motion_upsample's Catmull-Rom odd
+    # frames exactly on interior segments (end segments use one-sided
+    # tangents and may differ).
+    from mri_interpolation_tpu.infer.registration import group_synthesize_at
+
+    img = _moving_sequence()
+    even = img[..., ::2]
+    ctrl = register_group_temporal(
+        even, ctrl_sizes=(4, 8), pyramid=(2, 1), steps=120)
+    recon = group_motion_upsample(even, img.shape[-1], ctrl=ctrl)
+    T = even.shape[-1]
+    t_knots = np.asarray([2 * j / (img.shape[-1] - 1) for j in range(T)])
+    t_mid = np.asarray([(2 * j + 1) / (img.shape[-1] - 1) for j in range(1, T - 2)])
+    out = group_synthesize_at(even, t_knots, t_mid, ctrl=ctrl)
+    ref = np.stack([recon[..., 2 * j + 1] for j in range(1, T - 2)], axis=-1)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_group_synthesize_at_nonuniform_knots_track_motion():
+    # Drop one interior even frame (the LOO-fold geometry): the trajectory
+    # interpolated across the double gap must still beat the cross-fade at
+    # the held-out position.
+    from mri_interpolation_tpu.infer.registration import group_synthesize_at
+
+    img = _moving_sequence(t_full=13)
+    even = img[..., ::2]                      # 7 frames at t = 0,2,..,12
+    keep = [0, 1, 2, 4, 5, 6]                 # drop even frame 3 (t=6)
+    sub = even[..., keep]
+    t_knots = np.asarray([2 * j / 12 for j in keep])
+    pred = group_synthesize_at(sub, t_knots, np.asarray([0.5]),
+                               ctrl_sizes=(4, 8), pyramid=(2, 1), steps=150)
+    truth = img[..., 6]
+    fade = 0.5 * (even[..., 2] + even[..., 4])
+    mse_g = float(np.mean((pred[..., 0] - truth) ** 2))
+    mse_f = float(np.mean((fade - truth) ** 2))
+    assert mse_g < mse_f, (mse_g, mse_f)
+
+
 def test_upsample_rejects_incompatible_t():
     even = _moving_sequence()[..., ::2]
     with pytest.raises(ValueError):
