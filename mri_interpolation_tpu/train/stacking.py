@@ -151,9 +151,12 @@ def default_interp_families(
     config: TrainConfig,
     eval_shape: Sequence[int],
     seeds: Sequence[int] = (1337, 7, 23, 99),
+    include: Optional[Sequence[str]] = None,
     **warp_kwargs,
 ) -> Dict[str, FamilyFn]:
-    """The measured family set for the ankle workload (see RESULTS.md)."""
+    """The measured family set for the ankle workload (see RESULTS.md).
+    ``include`` restricts to a subset by name (e.g. the 4D protocol drops the
+    second/third warp variants to bound compute)."""
     base = dict(n_levels=4, n_features_per_level=4, log2_hashmap_size=23,
                 dim_hidden=64, n_layers=2, warp_hidden=64, warp_layers=3,
                 warp_scale=0.05, residual_scale=0.05)
@@ -161,7 +164,7 @@ def default_interp_families(
     spatial = tuple(eval_shape[:-1])
     base.setdefault("base_resolution", tuple(min(64, s) for s in spatial))
     base.setdefault("finest_resolution", spatial)
-    return {
+    fams = {
         "warp": _warp_family(config, seeds, eval_shape,
                              warp_w0=5.0, warp_accel=1.0, **base),
         "warp_noaccel": _warp_family(config, seeds, eval_shape,
@@ -172,6 +175,9 @@ def default_interp_families(
         "registration_group": _registration_group_family(),
         "linear": _linear_family(),
     }
+    if include is not None:
+        fams = {name: fams[name] for name in include}
+    return fams
 
 
 def simplex_lstsq(preds: np.ndarray, target: np.ndarray,

@@ -54,6 +54,15 @@ def test_loo_fold_predictions_shapes():
         assert target.shape == even.shape[:-1]
 
 
+def test_default_interp_families_include_subset():
+    from mri_interpolation_tpu.train.stacking import default_interp_families
+
+    fams = default_interp_families(
+        TrainConfig(epochs=1), (16, 16, 9),
+        include=("registration", "registration_group", "linear"))
+    assert list(fams) == ["registration", "registration_group", "linear"]
+
+
 def test_cache_dir_resumes_without_recomputation(tmp_path):
     # Family predictions are disk-memoized: a second run must reload the
     # cached arrays (bit-identical result) and never call the family again.
