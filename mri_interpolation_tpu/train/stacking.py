@@ -48,7 +48,9 @@ __all__ = [
     "default_interp_families",
     "simplex_lstsq",
     "loo_fold_predictions",
+    "stacked_fuse",
     "stacked_interp_eval",
+    "stacked_temporal_upsample",
 ]
 
 FamilyFn = Callable[[np.ndarray, np.ndarray, np.ndarray], np.ndarray]
@@ -272,16 +274,43 @@ def stacked_interp_eval(
     t_odd = np.asarray([(2 * j + 1) / (t_full - 1) for j in range(odd_img.shape[-1])])
     if families is None:
         families = default_interp_families(config, image.shape, seeds, **warp_kwargs)
-    names = list(families)
 
+    fused_odd, weights = stacked_fuse(train_img, t_keep, t_odd, families,
+                                      shrink=shrink, loo=loo, cache_dir=cache_dir)
+    recon = np.zeros(image.shape, np.float32)
+    recon[..., ::2] = train_img
+    recon[..., 1::2] = fused_odd
+    full_q = evaluate_reconstruction(jax.numpy.asarray(recon), jax.numpy.asarray(image),
+                                     data_range=1.0)
+    odd_q = evaluate_reconstruction(jax.numpy.asarray(fused_odd), jax.numpy.asarray(odd_img),
+                                    data_range=1.0)
+    return recon, {"full": full_q, "odd": odd_q, "weights": weights}
+
+
+def stacked_fuse(
+    train_frames: np.ndarray,
+    t_keep: np.ndarray,
+    t_new: np.ndarray,
+    families: Mapping[str, FamilyFn],
+    shrink: float = 0.5,
+    loo: bool = True,
+    cache_dir: Optional[str] = None,
+) -> Tuple[np.ndarray, dict]:
+    """Fuse the families' predictions at ``t_new`` with honestly-selected
+    weights: every family is deployed on all kept frames; simplex weights are
+    solved on the LOO fold errors (global + per-position, shrunk, then
+    interpolated from the fold positions to ``t_new``). Only kept-frame
+    information is used end to end. Returns (fused (spatial..., len(t_new)),
+    weights dict)."""
+    names = list(families)
     deploy = np.stack([
         _cached_call(cache_dir, f"deploy_{n}",
-                     lambda n=n: families[n](train_img, t_keep, t_odd))
+                     lambda n=n: families[n](train_frames, t_keep, t_new))
         for n in names
     ])
 
-    if loo and n_even >= 3:
-        folds, _ = loo_fold_predictions(train_img, t_keep, families, cache_dir)
+    if loo and train_frames.shape[-1] >= 3:
+        folds, _ = loo_fold_predictions(train_frames, t_keep, families, cache_dir)
         all_p = np.concatenate([p.reshape(len(names), -1) for _, p, _ in folds], axis=1)
         all_t = np.concatenate([t.reshape(-1) for _, _, t in folds])
         w_global = simplex_lstsq(all_p, all_t)
@@ -292,25 +321,106 @@ def stacked_interp_eval(
             w_pos.append(shrink * w_global + (1.0 - shrink) * wk)
         pos = np.asarray(pos)
         w_pos = np.stack(w_pos)                     # (n_folds, F)
-        # interpolate weights to the odd positions, then re-project
-        w_odd = np.stack([
-            np.interp(t_odd, pos, w_pos[:, f]) for f in range(len(names))
+        # interpolate weights to the deployment positions, then re-project
+        w_new = np.stack([
+            np.interp(t_new, pos, w_pos[:, f]) for f in range(len(names))
         ], axis=-1)
-        w_odd = np.maximum(w_odd, 0.0)
-        w_odd /= w_odd.sum(axis=-1, keepdims=True)
+        w_new = np.maximum(w_new, 0.0)
+        w_new /= w_new.sum(axis=-1, keepdims=True)
         weights = {"global": dict(zip(names, map(float, w_global))),
                    "per_position": {float(t): dict(zip(names, map(float, w)))
-                                    for t, w in zip(t_odd, w_odd)}}
+                                    for t, w in zip(t_new, w_new)}}
     else:
-        w_odd = np.full((len(t_odd), len(names)), 1.0 / len(names))
+        w_new = np.full((len(t_new), len(names)), 1.0 / len(names))
         weights = {"global": dict(zip(names, [1.0 / len(names)] * len(names)))}
 
-    fused_odd = np.einsum("f...t,tf->...t", deploy, w_odd)
-    recon = np.zeros(image.shape, np.float32)
-    recon[..., ::2] = train_img
-    recon[..., 1::2] = fused_odd
-    full_q = evaluate_reconstruction(jax.numpy.asarray(recon), jax.numpy.asarray(image),
-                                     data_range=1.0)
-    odd_q = evaluate_reconstruction(jax.numpy.asarray(fused_odd), jax.numpy.asarray(odd_img),
-                                    data_range=1.0)
-    return recon, {"full": full_q, "odd": odd_q, "weights": weights}
+    fused = np.einsum("f...t,tf->...t", deploy, w_new)
+    return fused, weights
+
+
+def stacked_temporal_upsample(
+    frames: np.ndarray,
+    t_factor: int = 2,
+    config: Optional[TrainConfig] = None,
+    families: Optional[Mapping[str, FamilyFn]] = None,
+    seeds: Sequence[int] = (1337, 7, 23, 99),
+    shrink: float = 0.5,
+    cache_dir: Optional[str] = None,
+    **warp_kwargs,
+) -> Tuple[np.ndarray, dict]:
+    """Temporal super-resolution of an OBSERVED sequence — the deployable
+    counterpart of the even-frame protocol (no ground truth required):
+    synthesize the ``t_factor``-upsampled time grid, observed frames passing
+    through untouched, in-between frames fused across the predictor families
+    with weights selected by LOO over the observed frames.
+
+    Returns (upsampled (spatial..., t_factor*(T-1)+1), weights dict).
+    """
+    frames = np.asarray(frames, np.float32)
+    T = frames.shape[-1]
+    if T < 3:
+        raise ValueError("need at least 3 frames for honest weight selection")
+    t_up = t_factor * (T - 1) + 1
+    t_keep = np.linspace(0.0, 1.0, T)
+    new_idx = [i for i in range(t_up) if i % t_factor != 0]
+    t_new = np.asarray([i / (t_up - 1) for i in new_idx])
+    if config is None:
+        config = TrainConfig(batch_size=10000, epochs=100, lr=1e-2,
+                             optimizer="adam_tcnn", lr_schedule="cosine",
+                             cosine_t_max=100, weight_decay=1e-5)
+    if families is None:
+        families = default_interp_families(
+            config, frames.shape[:-1] + (t_up,), seeds, **warp_kwargs)
+    fused, weights = stacked_fuse(frames, t_keep, t_new, families,
+                                  shrink=shrink, cache_dir=cache_dir)
+    out = np.zeros(frames.shape[:-1] + (t_up,), np.float32)
+    out[..., ::t_factor] = frames
+    out[..., new_idx] = fused
+    return out, weights
+
+
+def _main(argv=None):
+    """CLI: honest stacked temporal super-resolution of a NIfTI volume.
+
+    python -m mri_interpolation_tpu.train.stacking vol.nii.gz --factor 2 \\
+        --out vol_sr.nii.gz [--slice_z 3] [--families warp,registration,linear]
+    """
+    import argparse
+    import json
+
+    from ..io import load_volume
+    from ..io.nifti import save as nifti_save
+
+    ap = argparse.ArgumentParser(description=_main.__doc__)
+    ap.add_argument("image")
+    ap.add_argument("--out", default="stacked_sr.nii.gz")
+    ap.add_argument("--factor", type=int, default=2)
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--batch_size", type=int, default=10000)
+    ap.add_argument("--seeds", default="1337,7,23,99")
+    ap.add_argument("--families", default=None,
+                    help="comma-separated subset of the default families")
+    ap.add_argument("--slice_z", type=int, default=None,
+                    help="take one z slice of a 4D volume (2D+t workload)")
+    ap.add_argument("--cache_dir", default=None)
+    args = ap.parse_args(argv)
+
+    slice_axes = None
+    if args.slice_z is not None:
+        slice_axes = (slice(None), slice(None), args.slice_z, slice(None))
+    ds = load_volume(args.image, slice_axes=slice_axes)
+    cfg = TrainConfig(batch_size=args.batch_size, epochs=args.epochs, lr=1e-2,
+                      optimizer="adam_tcnn", lr_schedule="cosine",
+                      cosine_t_max=args.epochs, weight_decay=1e-5)
+    include = tuple(args.families.split(",")) if args.families else None
+    out, weights = stacked_temporal_upsample(
+        ds.image(), t_factor=args.factor, config=cfg,
+        seeds=tuple(int(s) for s in args.seeds.split(",")),
+        include=include, cache_dir=args.cache_dir)
+    nifti_save(out, args.out)
+    print(json.dumps({"out": args.out, "shape": list(out.shape),
+                      "global_weights": weights["global"]}))
+
+
+if __name__ == "__main__":
+    _main()

@@ -87,6 +87,42 @@ def test_cache_dir_resumes_without_recomputation(tmp_path):
     assert q1["odd"]["psnr"] == q2["odd"]["psnr"]
 
 
+def test_stacked_temporal_upsample_passthrough_and_quality():
+    from mri_interpolation_tpu.train.stacking import stacked_temporal_upsample
+
+    img = _moving_sequence(t_full=9)
+    even = img[..., ::2]                      # 5 observed frames
+    fams = {
+        "registration": _registration_family(ctrl_sizes=(4, 8), pyramid=(2, 1), steps=120),
+        "linear": _linear_family(),
+    }
+    out, weights = stacked_temporal_upsample(even, t_factor=2,
+                                             config=TrainConfig(epochs=1),
+                                             families=fams)
+    assert out.shape == img.shape
+    np.testing.assert_allclose(out[..., ::2], even, atol=0)
+    assert abs(sum(weights["global"].values()) - 1.0) < 1e-6
+    # fused in-between frames beat the cross-fade against the true sequence
+    fade = 0.5 * (even[..., :-1] + even[..., 1:])
+    mse_f = float(np.mean((out[..., 1::2] - img[..., 1::2]) ** 2))
+    mse_l = float(np.mean((fade - img[..., 1::2]) ** 2))
+    assert mse_f < mse_l, (mse_f, mse_l)
+
+
+def test_stacking_cli_writes_nifti(tmp_path):
+    from mri_interpolation_tpu.io import nifti
+    from mri_interpolation_tpu.train.stacking import _main
+
+    img = _moving_sequence(t_full=5, shape=(24, 24))
+    src = str(tmp_path / "seq.nii.gz")
+    nifti.save(img[:, :, None, :], src)       # (24,24,1,5) 4D volume
+    dst = str(tmp_path / "sr.nii.gz")
+    _main([src, "--out", dst, "--factor", "2", "--epochs", "1",
+           "--families", "linear", "--slice_z", "0"])
+    got = nifti.load(dst)
+    assert got.shape == (24, 24, 9)
+
+
 def test_stacked_interp_eval_picks_registration_on_motion():
     # On a translating blob, registration crushes cross-fade; the honest
     # LOO-stacked fusion must discover that and score near the best family.
