@@ -59,6 +59,17 @@ def main():
     assert q["odd"]["psnr"] > odd_lin["psnr"], "warp model should beat linear on moving content"
     print("motion interpolation beats linear interpolation — OK")
 
+    # the honest stacked fusion (registration + linear families; the warp
+    # families join on real workloads — see RESULTS.md protocol table)
+    from mri_interpolation_tpu.train.stacking import (
+        _linear_family, _registration_family, stacked_interp_eval)
+
+    fams = {"registration": _registration_family(ctrl_sizes=(4, 8), pyramid=(2, 1), steps=150),
+            "linear": _linear_family()}
+    recon, sq = stacked_interp_eval(vol, cfg, families=fams)
+    print(f"stacked   held-out odd-frame PSNR: {sq['odd']['psnr']:.2f} dB "
+          f"(weights {sq['weights']['global']})")
+
 
 if __name__ == "__main__":
     main()
