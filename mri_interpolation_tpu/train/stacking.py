@@ -16,6 +16,10 @@ predictor FAMILIES with decorrelated errors:
                     trajectory over all kept frames, cubic-Hermite sampled
                     at the eval times (captures curvature the pairwise
                     midpoint cannot)
+- ``cubic``         data-space non-uniform cubic Hermite (Catmull-Rom)
+                    across kept frames — models intensity-trajectory
+                    curvature, which every motion family ignores (they all
+                    cross-fade appearance linearly)
 - ``linear``        classical cross-fade (the reference's interp.py baseline)
 
 Their fusion weights must NOT be tuned on the held-out odd frames. This
@@ -135,6 +139,40 @@ def _registration_group_family(**reg_kwargs) -> FamilyFn:
     return family
 
 
+def _cubic_family() -> FamilyFn:
+    """Per-voxel non-uniform cubic Hermite over the kept frames
+    (finite-difference tangents; the uniform case is Catmull-Rom, exact on
+    quadratic intensity trajectories). Same spline machinery as the group
+    registration's trajectory interpolation (infer/registration.py:
+    group_synthesize_at) but applied in INTENSITY space — it captures
+    brightness curvature in time, which the motion families cannot (they
+    cross-fade appearance linearly between the bracketing frames)."""
+
+    def family(train_frames, t_keep, t_eval):
+        t_keep = np.asarray(t_keep, np.float64)
+        T = train_frames.shape[-1]
+        out = []
+        for t in np.asarray(t_eval, np.float64):
+            j = int(np.searchsorted(t_keep, t) - 1)
+            j = min(max(j, 0), T - 2)
+            t1, t2 = t_keep[j], t_keep[j + 1]
+            h = t2 - t1
+            s = float((t - t1) / h)
+            f1, f2 = train_frames[..., j], train_frames[..., j + 1]
+            m1 = ((f2 - train_frames[..., j - 1]) * (h / (t2 - t_keep[j - 1]))
+                  if j > 0 else f2 - f1)
+            m2 = ((train_frames[..., j + 2] - f1) * (h / (t_keep[j + 2] - t1))
+                  if j + 2 < T else f2 - f1)
+            h00 = 2 * s**3 - 3 * s**2 + 1
+            h10 = s**3 - 2 * s**2 + s
+            h01 = -2 * s**3 + 3 * s**2
+            h11 = s**3 - s**2
+            out.append(h00 * f1 + h10 * m1 + h01 * f2 + h11 * m2)
+        return np.stack(out, axis=-1).astype(np.float32)
+
+    return family
+
+
 def _linear_family() -> FamilyFn:
     def family(train_frames, t_keep, t_eval):
         t_keep = np.asarray(t_keep, np.float64)
@@ -175,6 +213,7 @@ def default_interp_families(
                                      warp_w0=5.0, warp_accel=1.0, **base),
         "registration": _registration_family(),
         "registration_group": _registration_group_family(),
+        "cubic": _cubic_family(),
         "linear": _linear_family(),
     }
     if include is not None:

@@ -8,7 +8,43 @@ from mri_interpolation_tpu.train.stacking import (
     simplex_lstsq,
     stacked_interp_eval,
 )
-from mri_interpolation_tpu.train.stacking import _linear_family, _registration_family
+from mri_interpolation_tpu.train.stacking import (
+    _cubic_family,
+    _linear_family,
+    _registration_family,
+)
+
+
+def test_cubic_family_exact_on_quadratic_trajectories():
+    # Catmull-Rom with finite-difference tangents reproduces quadratic
+    # per-voxel intensity trajectories exactly on interior intervals.
+    rng = np.random.default_rng(3)
+    a, b, c = (rng.normal(size=(6, 6)).astype(np.float32) for _ in range(3))
+    t_keep = np.linspace(0.0, 1.0, 6)
+    frames = np.stack([a * t * t + b * t + c for t in t_keep], axis=-1)
+    t_eval = np.asarray([0.3, 0.5, 0.7])      # interior (one-sided ends excluded)
+    pred = _cubic_family()(frames, t_keep, t_eval)
+    want = np.stack([a * t * t + b * t + c for t in t_eval], axis=-1)
+    np.testing.assert_allclose(pred, want, atol=1e-5)
+    # and it degrades to linear interpolation on linear trajectories
+    frames_lin = np.stack([b * t + c for t in t_keep], axis=-1)
+    pred_lin = _cubic_family()(frames_lin, t_keep, t_eval)
+    want_lin = np.stack([b * t + c for t in t_eval], axis=-1)
+    np.testing.assert_allclose(pred_lin, want_lin, atol=1e-5)
+
+
+def test_cubic_family_nonuniform_knots_linear_exact():
+    # Non-uniform spacing (the LOO folds' layout): linear trajectories are
+    # still reproduced exactly — the scaled finite-difference tangents equal
+    # the true slope, and linears lie in the cubic Hermite space.
+    rng = np.random.default_rng(4)
+    b, c = (rng.normal(size=(5, 5)).astype(np.float32) for _ in range(2))
+    t_keep = np.asarray([0.0, 0.15, 0.5, 0.6, 1.0])
+    frames = np.stack([b * t + c for t in t_keep], axis=-1)
+    t_eval = np.asarray([0.3, 0.55, 0.8])
+    pred = _cubic_family()(frames, t_keep, t_eval)
+    want = np.stack([b * t + c for t in t_eval], axis=-1)
+    np.testing.assert_allclose(pred, want, atol=1e-5)
 
 
 def _blob(shape, center, sigma=0.12):
