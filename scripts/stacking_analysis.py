@@ -1,0 +1,292 @@
+"""Offline analysis of the LOO-stacked fusion weights (CPU-only, cache-driven).
+
+The stacked protocol's weight-selection signal — LOO folds over interior kept
+frames — lives in a WIDER-gap regime than deployment: holding out even frame k
+leaves a 4-original-step gap bridged at its midpoint, while deployment bridges
+2-step gaps. Family error magnitudes (and with few folds, the lstsq-optimal
+combination) do not transfer perfectly between the regimes; the round-2 row
+(26.01 dB) in fact landed below the best single family (warp, 26.06 dB).
+
+This script selects the solver's regularization HONESTLY — nested LOO over the
+folds themselves (hold out each fold, solve weights on the rest, score the held
+fold; no odd-frame ground truth anywhere in selection):
+
+  * ridge strength lam on the simplex-constrained lstsq Gram (lam -> inf
+    degenerates to weights proportional to per-family fold correlation),
+  * shrink between the global solve and per-position solves.
+
+Usage:  python scripts/stacking_analysis.py [--cache_dir runs/stacked_cache_ep100]
+
+Prints the nested-score table, the nested-selected configuration, and (only as
+the final diagnostic) each configuration's deployment score against the odd
+frames. The nested-selected row is what `--stacked` reports in RESULTS.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+
+# CPU-only analysis: pin the platform BEFORE first device use (the
+# environment's sitecustomize re-pins JAX_PLATFORMS to the TPU tunnel, and a
+# numpy-stack script must not block on it — same pattern as tests/conftest.py).
+jax.config.update("jax_platforms", "cpu")
+
+from mri_interpolation_tpu.io import even_frame_split, load_volume
+from mri_interpolation_tpu.metrics import evaluate_reconstruction
+from mri_interpolation_tpu.train.stacking import simplex_lstsq
+
+SAMPLE = "/root/reference/sample_ankle_dyn_mri.nii.gz"
+SLICE = (slice(None), slice(None), 3, slice(None))
+
+
+def simplex_lstsq_ridge(preds: np.ndarray, target: np.ndarray, lam: float,
+                        iters: int = 500, lr: float = 0.5) -> np.ndarray:
+    """simplex_lstsq with a ridge on the Gram: (G + lam*tr(G)/F I) w = b.
+    lam=0 is the production solver; large lam shrinks toward the simplex
+    projection of the per-family correlation vector b (robust to the Gram's
+    ill-conditioning when the families are highly correlated and folds few)."""
+    F = preds.shape[0]
+    G = preds @ preds.T / preds.shape[1]
+    b = preds @ target / preds.shape[1]
+    G = G + lam * (np.trace(G) / F) * np.eye(F)
+    w = np.full((F,), 1.0 / F)
+    scale = max(np.trace(G) / F, 1e-12)
+    for _ in range(iters):
+        grad = (G @ w - b) / scale
+        w = w - lr * grad
+        u = np.sort(w)[::-1]
+        css = np.cumsum(u) - 1.0
+        rho = np.nonzero(u - css / (np.arange(F) + 1) > 0)[0][-1]
+        w = np.maximum(w - css[rho] / (rho + 1.0), 0.0)
+    return w
+
+
+def load_folds(cache_dir: str, img: np.ndarray):
+    """(names, folds, deploy, t_odd): folds = [(t_held, preds (F,S), target (S))]."""
+    train_img, _ = even_frame_split(img)
+    t_full = img.shape[-1]
+    n = train_img.shape[-1]
+    t_keep = np.asarray([2 * j / (t_full - 1) for j in range(n)])
+    t_odd = np.asarray([(2 * j + 1) / (t_full - 1) for j in range((t_full) // 2)])
+    names = sorted({os.path.basename(p)[len("deploy_"):-4]
+                    for p in glob.glob(os.path.join(cache_dir, "deploy_*.npy"))})
+    folds = []
+    for k in range(1, n - 1):
+        paths = [os.path.join(cache_dir, f"fold{k}_{f}.npy") for f in names]
+        if not all(os.path.exists(p) for p in paths):
+            continue
+        preds = np.stack([np.load(p) for p in paths])
+        folds.append((t_keep[k], preds, train_img[..., k]))
+    deploy = np.stack([np.load(os.path.join(cache_dir, f"deploy_{f}.npy"))
+                       for f in names])
+    return names, folds, deploy, t_odd
+
+
+def solve_weights(folds, names, t_new, lam: float, shrink: float):
+    """Global + per-position ridge simplex solve -> (len(t_new), F) weights."""
+    F = len(names)
+    all_p = np.concatenate([p.reshape(F, -1) for _, p, _ in folds], axis=1)
+    all_t = np.concatenate([t.reshape(-1) for _, _, t in folds])
+    w_global = simplex_lstsq_ridge(all_p, all_t, lam)
+    pos = np.asarray([t for t, _, _ in folds])
+    w_pos = np.stack([
+        shrink * w_global + (1.0 - shrink)
+        * simplex_lstsq_ridge(p.reshape(F, -1), t.reshape(-1), lam)
+        for _, p, t in folds
+    ])
+    w_new = np.stack([np.interp(t_new, pos, w_pos[:, f]) for f in range(F)], axis=-1)
+    w_new = np.maximum(w_new, 0.0)
+    w_new /= w_new.sum(axis=-1, keepdims=True)
+    return w_new, w_global
+
+
+def nested_score(folds, names, lam: float, shrink: float) -> float:
+    """Hold out each fold; solve on the rest; MSE on the held fold."""
+    errs = []
+    for j in range(len(folds)):
+        rest = folds[:j] + folds[j + 1:]
+        t_held, preds, target = folds[j]
+        w, _ = solve_weights(rest, names, np.asarray([t_held]), lam, shrink)
+        fused = np.einsum("f...,f->...", preds, w[0])
+        errs.append(float(np.mean((fused - target) ** 2)))
+    return float(np.mean(errs))
+
+
+def _box_blur(img: np.ndarray, rad: int) -> np.ndarray:
+    """Separable box blur over the spatial axes (pure numpy, edge-clamped)."""
+    out = img.astype(np.float32)
+    for ax in range(img.ndim):
+        if img.shape[ax] < 2 * rad + 1:
+            continue
+        pad = [(0, 0)] * img.ndim
+        pad[ax] = (rad, rad)
+        p = np.pad(out, pad, mode="edge")
+        c = np.cumsum(p, axis=ax)
+        lead = [slice(None)] * img.ndim
+        lag = [slice(None)] * img.ndim
+        lead[ax] = slice(2 * rad + 1, None)
+        lag[ax] = slice(None, -(2 * rad + 1))
+        first = [slice(None)] * img.ndim
+        first[ax] = slice(2 * rad, 2 * rad + 1)
+        head = c[tuple(first)]
+        out = np.concatenate([head, c[tuple(lead)] - c[tuple(lag)]], axis=ax) / (2 * rad + 1)
+    return out
+
+
+def motion_feature(frame_lo: np.ndarray, frame_hi: np.ndarray, rad: int = 4) -> np.ndarray:
+    """Target-free local motion magnitude between the two BRACKETING kept
+    frames (available identically at fold positions and at deployment)."""
+    return _box_blur(np.abs(frame_hi - frame_lo), rad)
+
+
+def gated_solve(folds_feats, names, n_bins: int, lam: float):
+    """Per-motion-bin global simplex weights. ``folds_feats``: list of
+    (preds (F, S), target (S), feat (S)). Returns (thresholds, (B, F) weights):
+    thresholds are pooled-fold quantiles, so deployment bins the same way."""
+    F = len(names)
+    all_feat = np.concatenate([f.reshape(-1) for _, _, f in folds_feats])
+    qs = np.quantile(all_feat, [i / n_bins for i in range(1, n_bins)])
+    W = np.zeros((n_bins, F))
+    for b in range(n_bins):
+        masks = []
+        for _, _, feat in folds_feats:
+            m = np.digitize(feat.reshape(-1), qs) == b
+            masks.append(m)
+        p = np.concatenate([pr.reshape(F, -1)[:, m]
+                            for (pr, _, _), m in zip(folds_feats, masks)], axis=1)
+        t = np.concatenate([tg.reshape(-1)[m]
+                            for (_, tg, _), m in zip(folds_feats, masks)])
+        W[b] = simplex_lstsq_ridge(p, t, lam) if t.size else 1.0 / F
+    return qs, W
+
+
+def gated_fuse(preds: np.ndarray, feat: np.ndarray, qs: np.ndarray,
+               W: np.ndarray) -> np.ndarray:
+    bins = np.digitize(feat.reshape(-1), qs)
+    w_px = W[bins]                                  # (N, F)
+    return np.einsum("fn,nf->n", preds.reshape(preds.shape[0], -1),
+                     w_px).reshape(preds.shape[1:])
+
+
+def run_gated(img, names, folds, deploy, t_odd, odd_img):
+    """Motion-gated stacking prototype: nested-LOO selection over
+    (n_bins, lam), then the deployment diagnostic."""
+    train_img, _ = even_frame_split(img)
+    t_full = img.shape[-1]
+    n = train_img.shape[-1]
+    t_keep = np.asarray([2 * j / (t_full - 1) for j in range(n)])
+    # fold features: bracketing KEPT frames around held position k are k-1, k+1
+    pos_to_idx = {t_keep[k]: k for k in range(n)}
+    folds_feats = []
+    for t_held, preds, target in folds:
+        k = pos_to_idx[t_held]
+        feat = motion_feature(train_img[..., k - 1], train_img[..., k + 1])
+        folds_feats.append((preds, target, feat))
+    # deployment features: odd position 2j+1 sits between even frames j, j+1
+    dep_feats = np.stack([
+        motion_feature(train_img[..., j], train_img[..., j + 1])
+        for j in range(len(t_odd))
+    ], axis=-1)
+
+    rows = []
+    for n_bins in (1, 2, 3, 5):
+        for lam in (0.0, 0.1, 0.3, 1.0):
+            errs = []
+            for j in range(len(folds_feats)):
+                rest = folds_feats[:j] + folds_feats[j + 1:]
+                qs, W = gated_solve(rest, names, n_bins, lam)
+                preds, target, feat = folds_feats[j]
+                fused = gated_fuse(preds, feat, qs, W)
+                errs.append(float(np.mean((fused - target) ** 2)))
+            rows.append({"bins": n_bins, "lam": lam,
+                         "nested_mse": float(np.mean(errs))})
+            print(json.dumps(rows[-1]), flush=True)
+    rows.sort(key=lambda r: r["nested_mse"])
+    best = rows[0]
+    print("gated nested-selected:", json.dumps(best), flush=True)
+
+    print("\n# gated deployment scores (diagnostic)", flush=True)
+    for r in rows:
+        qs, W = gated_solve(folds_feats, names, r["bins"], r["lam"])
+        fused = np.stack([
+            gated_fuse(deploy[:, ..., i], dep_feats[..., i], qs, W)
+            for i in range(deploy.shape[-1])
+        ], axis=-1)
+        mse = float(np.mean((fused - odd_img) ** 2))
+        rec = {"bins": r["bins"], "lam": r["lam"],
+               "odd_psnr": round(-10.0 * np.log10(mse), 3)}
+        if r is best:
+            q = evaluate_reconstruction(jax.numpy.asarray(fused),
+                                        jax.numpy.asarray(odd_img), data_range=1.0)
+            rec["odd_ssim"] = round(q.get("ssim", float("nan")), 4)
+            rec["selected"] = True
+            rec["bin_weights"] = {f"bin{b}": {n: round(float(x), 3)
+                                              for n, x in zip(names, W[b])}
+                                  for b in range(W.shape[0])}
+        print(json.dumps(rec), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cache_dir", default="runs/stacked_cache_ep100")
+    ap.add_argument("--lams", default="0,0.1,0.3,1,3,10")
+    ap.add_argument("--shrinks", default="0,0.25,0.5,0.75,1")
+    ap.add_argument("--gated", action="store_true",
+                    help="motion-gated per-bin weights instead of the "
+                         "(lam, shrink) sweep")
+    args = ap.parse_args()
+
+    ds = load_volume(SAMPLE, slice_axes=SLICE)
+    img = ds.image()
+    _, odd_img = even_frame_split(img)
+    names, folds, deploy, t_odd = load_folds(args.cache_dir, img)
+    print(f"families: {names}; folds with complete predictions: {len(folds)}")
+
+    if args.gated:
+        run_gated(img, names, folds, deploy, t_odd, odd_img)
+        return
+
+    lams = [float(x) for x in args.lams.split(",")]
+    shrinks = [float(x) for x in args.shrinks.split(",")]
+    rows = []
+    for lam in lams:
+        for shrink in shrinks:
+            ns = nested_score(folds, names, lam, shrink)
+            rows.append({"lam": lam, "shrink": shrink, "nested_mse": ns})
+            print(json.dumps(rows[-1]), flush=True)
+    rows.sort(key=lambda r: r["nested_mse"])
+    best = rows[0]
+    print("nested-selected:", json.dumps(best))
+
+    # deployment scores (diagnostic; selection above never saw these).
+    # PSNR via plain numpy — cheap enough to sweep; full metrics (SSIM) only
+    # for the nested-selected configuration.
+    print("\n# deployment scores (diagnostic)")
+    for r in rows:
+        w_new, w_global = solve_weights(folds, names, t_odd, r["lam"], r["shrink"])
+        fused = np.einsum("f...t,tf->...t", deploy, w_new)
+        mse = float(np.mean((fused - odd_img) ** 2))
+        rec = {"lam": r["lam"], "shrink": r["shrink"],
+               "odd_psnr": round(-10.0 * np.log10(mse), 3),
+               "weights": {n: round(float(x), 3)
+                           for n, x in zip(names, w_global)}}
+        if r is best:
+            q = evaluate_reconstruction(jax.numpy.asarray(fused),
+                                        jax.numpy.asarray(odd_img), data_range=1.0)
+            rec["odd_ssim"] = round(q.get("ssim", float("nan")), 4)
+            rec["selected"] = True
+        print(json.dumps(rec), flush=True)
+
+
+if __name__ == "__main__":
+    main()
