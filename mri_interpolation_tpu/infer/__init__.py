@@ -2,7 +2,11 @@
 and serving export."""
 
 from .grid import evaluate_grid, flat_index_to_coords, predict_batched
-from .classical import linear_interpolate_volume
+from .classical import (
+    cubic_interpolate_frames,
+    linear_interpolate_volume,
+    temporal_upsample_classical,
+)
 from .export import export_evaluator_bytes, load_evaluator, save_evaluator
 from .registration import (
     group_motion_upsample,
@@ -18,6 +22,8 @@ __all__ = [
     "flat_index_to_coords",
     "predict_batched",
     "linear_interpolate_volume",
+    "cubic_interpolate_frames",
+    "temporal_upsample_classical",
     "save_evaluator",
     "load_evaluator",
     "export_evaluator_bytes",

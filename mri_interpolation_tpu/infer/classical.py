@@ -16,7 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["linear_interpolate_volume"]
+__all__ = ["linear_interpolate_volume", "cubic_interpolate_frames",
+           "temporal_upsample_classical"]
 
 
 def linear_interpolate_volume(volume: np.ndarray, out_shape: Sequence[int]) -> np.ndarray:
@@ -48,6 +49,77 @@ def linear_interpolate_volume(volume: np.ndarray, out_shape: Sequence[int]) -> n
     return np.asarray(out).reshape(out_shape)
 
 
+def cubic_interpolate_frames(
+    frames: np.ndarray,
+    t_keep: Sequence[float],
+    t_eval: Sequence[float],
+) -> np.ndarray:
+    """Per-voxel non-uniform cubic Hermite (finite-difference tangents;
+    Catmull-Rom on uniform spacing) across the last axis of ``frames`` —
+    the data-space intensity-curvature baseline of the stacking protocol
+    (train/stacking.py uses this same math as the ``cubic`` family).
+    ``frames``: (spatial..., T); returns (spatial..., len(t_eval))."""
+    frames = np.asarray(frames, np.float32)
+    t_keep = np.asarray(t_keep, np.float64)
+    T = frames.shape[-1]
+    out = []
+    for t in np.asarray(t_eval, np.float64):
+        j = int(np.searchsorted(t_keep, t) - 1)
+        j = min(max(j, 0), T - 2)
+        t1, t2 = t_keep[j], t_keep[j + 1]
+        h = t2 - t1
+        s = float((t - t1) / h)
+        f1, f2 = frames[..., j], frames[..., j + 1]
+        m1 = ((f2 - frames[..., j - 1]) * (h / (t2 - t_keep[j - 1]))
+              if j > 0 else f2 - f1)
+        m2 = ((frames[..., j + 2] - f1) * (h / (t_keep[j + 2] - t1))
+              if j + 2 < T else f2 - f1)
+        h00 = 2 * s**3 - 3 * s**2 + 1
+        h10 = s**3 - 2 * s**2 + s
+        h01 = -2 * s**3 + 3 * s**2
+        h11 = s**3 - s**2
+        out.append(h00 * f1 + h10 * m1 + h01 * f2 + h11 * m2)
+    return np.stack(out, axis=-1).astype(np.float32)
+
+
+def temporal_upsample_classical(
+    src: np.ndarray,
+    t_full: int,
+    method: str = "linear",
+) -> np.ndarray:
+    """Rebuild a ``t_full``-frame temporal grid from the frames of ``src``
+    (observed frames land on every other output frame, reference protocol
+    layout) with a classical — non-INR, training-free at the model level —
+    interpolator:
+
+    - ``linear``: multilinear resampling (the reference's ITK baseline).
+    - ``cubic``: per-voxel cubic Hermite in intensity space.
+    - ``registration``: pairwise symmetric-diffeomorphic midpoint synthesis
+      (infer/registration.py) — motion-compensated, no cross-fade ghosting.
+    - ``registration_group``: group temporal registration; in-between motion
+      interpolated from one coherent trajectory (Catmull-Rom over fields).
+    """
+    if method == "linear":
+        return linear_interpolate_volume(src, src.shape[:-1] + (t_full,))
+    if method == "cubic":
+        T = src.shape[-1]
+        t_keep = [2 * j / (t_full - 1) for j in range(T)]
+        t_eval = [i / (t_full - 1) for i in range(t_full)]
+        return cubic_interpolate_frames(src, t_keep, t_eval)
+    if method == "registration":
+        from .registration import motion_compensated_upsample
+
+        return motion_compensated_upsample(src, t_full)
+    if method == "registration_group":
+        from .registration import group_motion_upsample
+
+        return group_motion_upsample(src, t_full)
+    raise ValueError(
+        f"unknown method {method!r}; expected linear | cubic | registration "
+        f"| registration_group"
+    )
+
+
 def main(argv=None):
     """CLI parity with the reference's interp.py protocol: load a 4D volume,
     normalize by max, take the (x, y, t) slice at z, drop to even frames,
@@ -63,6 +135,9 @@ def main(argv=None):
     p.add_argument("--slice_z", type=int, default=3)
     p.add_argument("--even_frames", action=argparse.BooleanOptionalAction, default=True,
                    help="interpolate from even frames only (--no-even_frames uses all frames)")
+    p.add_argument("--method", default="linear",
+                   choices=["linear", "cubic", "registration", "registration_group"],
+                   help="temporal interpolator (see temporal_upsample_classical)")
     args = p.parse_args(argv)
 
     img = nifti.load(args.image_path)
@@ -72,9 +147,12 @@ def main(argv=None):
         data = data[:, :, args.slice_z, :]
     full_shape = data.shape
     src = data[..., ::2] if args.even_frames else data
-    out = linear_interpolate_volume(src, full_shape)
+    if args.even_frames:
+        out = temporal_upsample_classical(src, full_shape[-1], method=args.method)
+    else:
+        out = linear_interpolate_volume(src, full_shape)
     nifti.save(out.astype(np.float32), args.out)
-    print(f"wrote {args.out} shape={out.shape}")
+    print(f"wrote {args.out} shape={out.shape} method={args.method}")
 
 
 if __name__ == "__main__":

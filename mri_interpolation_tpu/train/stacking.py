@@ -142,33 +142,16 @@ def _registration_group_family(**reg_kwargs) -> FamilyFn:
 def _cubic_family() -> FamilyFn:
     """Per-voxel non-uniform cubic Hermite over the kept frames
     (finite-difference tangents; the uniform case is Catmull-Rom, exact on
-    quadratic intensity trajectories). Same spline machinery as the group
+    quadratic intensity trajectories) — infer/classical.py's
+    ``cubic_interpolate_frames``. Same spline machinery as the group
     registration's trajectory interpolation (infer/registration.py:
     group_synthesize_at) but applied in INTENSITY space — it captures
     brightness curvature in time, which the motion families cannot (they
     cross-fade appearance linearly between the bracketing frames)."""
+    from ..infer.classical import cubic_interpolate_frames
 
     def family(train_frames, t_keep, t_eval):
-        t_keep = np.asarray(t_keep, np.float64)
-        T = train_frames.shape[-1]
-        out = []
-        for t in np.asarray(t_eval, np.float64):
-            j = int(np.searchsorted(t_keep, t) - 1)
-            j = min(max(j, 0), T - 2)
-            t1, t2 = t_keep[j], t_keep[j + 1]
-            h = t2 - t1
-            s = float((t - t1) / h)
-            f1, f2 = train_frames[..., j], train_frames[..., j + 1]
-            m1 = ((f2 - train_frames[..., j - 1]) * (h / (t2 - t_keep[j - 1]))
-                  if j > 0 else f2 - f1)
-            m2 = ((train_frames[..., j + 2] - f1) * (h / (t_keep[j + 2] - t1))
-                  if j + 2 < T else f2 - f1)
-            h00 = 2 * s**3 - 3 * s**2 + 1
-            h10 = s**3 - 2 * s**2 + s
-            h01 = -2 * s**3 + 3 * s**2
-            h11 = s**3 - s**2
-            out.append(h00 * f1 + h10 * m1 + h01 * f2 + h11 * m2)
-        return np.stack(out, axis=-1).astype(np.float32)
+        return cubic_interpolate_frames(train_frames, t_keep, t_eval)
 
     return family
 

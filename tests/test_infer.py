@@ -82,6 +82,57 @@ class TestClassicalBaseline:
             linear_interpolate_volume(np.zeros((4, 4)), (4, 4, 4))
 
 
+class TestClassicalTemporalMethods:
+    def test_cubic_exact_on_quadratic_trajectories(self):
+        # intensity quadratic in t: cubic Hermite (finite-difference tangents)
+        # reproduces interior midpoints exactly; linear does not.
+        from mri_interpolation_tpu.infer import cubic_interpolate_frames
+
+        rng = np.random.default_rng(0)
+        a, b, c = (rng.random((5, 5), dtype=np.float32) for _ in range(3))
+        t_keep = np.linspace(0.0, 1.0, 6)
+        frames = np.stack([a + b * t + c * t * t for t in t_keep], axis=-1)
+        t_eval = (t_keep[:-1] + t_keep[1:]) / 2
+        got = cubic_interpolate_frames(frames, t_keep, t_eval)
+        want = np.stack([a + b * t + c * t * t for t in t_eval], axis=-1)
+        # interior segments exact; end segments use one-sided tangents
+        np.testing.assert_allclose(got[..., 1:-1], want[..., 1:-1], atol=1e-5)
+        lin = 0.5 * (frames[..., 1:-2] + frames[..., 2:-1])
+        assert np.abs(lin - want[..., 1:-1]).max() > 1e-3
+
+    def test_cubic_matches_stacking_family_cache_semantics(self):
+        # the stacking protocol's `cubic` family is this function
+        from mri_interpolation_tpu.infer import cubic_interpolate_frames
+        from mri_interpolation_tpu.train.stacking import _cubic_family
+
+        frames = synthetic_volume((4, 4, 5), seed=3)
+        t_keep = np.asarray([0.0, 0.2, 0.5, 0.7, 1.0])
+        t_eval = np.asarray([0.1, 0.35, 0.9])
+        np.testing.assert_array_equal(
+            _cubic_family()(frames, t_keep, t_eval),
+            cubic_interpolate_frames(frames, t_keep, t_eval))
+
+    def test_upsample_dispatch_linear_and_cubic(self):
+        from mri_interpolation_tpu.infer import temporal_upsample_classical
+
+        src = synthetic_volume((5, 5, 4), seed=2)
+        for method in ("linear", "cubic"):
+            out = temporal_upsample_classical(src, 7, method=method)
+            assert out.shape == (5, 5, 7)
+            # observed frames pass through (cubic/linear both endpoint-exact)
+            np.testing.assert_allclose(out[..., ::2], src, atol=1e-5)
+        with pytest.raises(ValueError, match="unknown method"):
+            temporal_upsample_classical(src, 7, method="nope")
+
+    def test_upsample_registration_smoke(self):
+        from mri_interpolation_tpu.infer import temporal_upsample_classical
+
+        src = synthetic_volume((8, 8, 3), seed=4)
+        out = temporal_upsample_classical(src, 5, method="registration")
+        assert out.shape == (8, 8, 5) and np.isfinite(out).all()
+        np.testing.assert_allclose(out[..., ::2], src, atol=1e-6)
+
+
 class TestEvalCacheBound:
     def test_lru_eviction(self):
         from mri_interpolation_tpu.infer import grid as g
