@@ -99,6 +99,7 @@ class RunConfig:
     checkpoint_every_epochs: int = 0     # >0: also checkpoint every k epochs
     eval_every_epochs: int = 0           # >0: stream eval PSNR into scalars.jsonl every k epochs
     save_latents: bool = False           # also save encoder latent maps (latents.nii.gz)
+    remat: bool = False                  # rematerialize the forward in backward (memory for FLOPs)
 
     def model_kwargs(self) -> Dict[str, Any]:
         """The union-of-kwargs the launcher passes to the model factory

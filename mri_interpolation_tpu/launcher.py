@@ -172,6 +172,7 @@ def run(cfg: RunConfig, run_dir: Optional[str] = None) -> dict:
         checkpoint_dir=os.path.join(run_dir, "checkpoints") if cfg.save_checkpoint else None,
         checkpoint_every_epochs=cfg.checkpoint_every_epochs,
         eval_every_epochs=cfg.eval_every_epochs,
+        remat=cfg.remat,
     )
 
     # Periodic eval PSNR on a fixed training-set subsample, streamed into

@@ -65,6 +65,12 @@ class TrainConfig:
     # to train_loss, so convergence curves are plottable from artifacts.
     # 0 disables; used with Trainer.fit(eval_fn=...).
     eval_every_epochs: int = 0
+    # Rematerialization (jax.checkpoint) of the per-batch forward: the
+    # backward pass recomputes activations instead of holding them in HBM —
+    # the standard TPU trade of FLOPs for memory. Worth it when the per-step
+    # activation footprint dominates (psf_siren's 125x coordinate expansion,
+    # very large batches); value-identical to the unremat'd step.
+    remat: bool = False
 
 
 @dataclass
@@ -155,6 +161,10 @@ class Trainer:
             y_pred, new_state = model.apply(params, state, x, train=True, rng=rng)
             return base_loss(y_pred, y), new_state
 
+        if self.config.remat:
+            # jax.checkpoint: the VJP recomputes the forward instead of
+            # saving its residuals (value-identical; see TrainConfig.remat).
+            loss_fn = jax.checkpoint(loss_fn)
         return loss_fn
 
     def _wrap_freeze(self, tx, params):

@@ -246,3 +246,33 @@ class TestEvalScalars:
         recs = read_scalars(log, tag="psnr")
         assert len(recs) == 1 == len(calls)  # epochs=3, every 2 -> after epoch 2
         assert recs[0]["value"] == 31.0
+
+
+class TestRemat:
+    def test_loss_curve_identical(self, small_dataset):
+        """jax.checkpoint trades memory for recompute without changing values:
+        the remat'd fit reproduces the plain fit's loss curve."""
+        def fit(remat):
+            model = make_siren(dim_in=3, dim_hidden=8, n_layers=2)
+            cfg = TrainConfig(batch_size=512, epochs=2, lr=1e-3, seed=0, remat=remat)
+            return Trainer(cfg).fit(model, small_dataset.coords, small_dataset.values)
+
+        plain, remat = fit(False), fit(True)
+        np.testing.assert_allclose(remat.losses, plain.losses, rtol=1e-6, atol=0)
+
+    def test_remat_with_state_and_custom_loss(self, small_dataset):
+        """Both loss paths under remat: BatchNorm state threading (hash norm
+        decoder) and a model-supplied loss_fn (psf_siren)."""
+        from mri_interpolation_tpu.models import make_hash_mlp, make_psf_siren
+
+        hm = make_hash_mlp(dim_in=3, n_levels=2, n_features_per_level=1,
+                           log2_hashmap_size=8, base_resolution=4,
+                           finest_resolution=8, dim_hidden=8, n_layers=2)
+        cfg = TrainConfig(batch_size=256, epochs=1, lr=1e-3, seed=0, remat=True)
+        r = Trainer(cfg).fit(hm, small_dataset.coords, small_dataset.values)
+        assert np.isfinite(r.losses).all()
+
+        ps = make_psf_siren(dim_in=3, dim_hidden=8, n_layers=2, n_sample=3,
+                            coordinates_spacing=(0.05, 0.05, 0.05))
+        r2 = Trainer(cfg).fit(ps, small_dataset.coords, small_dataset.values)
+        assert np.isfinite(r2.losses).all()
