@@ -7,7 +7,12 @@ from .classical import (
     linear_interpolate_volume,
     temporal_upsample_classical,
 )
-from .export import export_evaluator_bytes, load_evaluator, save_evaluator
+from .export import (
+    export_evaluator_bytes,
+    load_evaluator,
+    quantize_tables,
+    save_evaluator,
+)
 from .registration import (
     group_motion_upsample,
     motion_compensated_upsample,
@@ -27,6 +32,7 @@ __all__ = [
     "save_evaluator",
     "load_evaluator",
     "export_evaluator_bytes",
+    "quantize_tables",
     "register_pair",
     "register_group_temporal",
     "synthesize_frame",

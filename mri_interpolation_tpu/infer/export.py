@@ -24,7 +24,29 @@ from jax import export as jax_export
 from ..models.core import Model
 from .grid import flat_index_to_coords
 
-__all__ = ["save_evaluator", "load_evaluator", "export_evaluator_bytes"]
+__all__ = ["save_evaluator", "load_evaluator", "export_evaluator_bytes",
+           "quantize_tables"]
+
+
+def quantize_tables(params, dtype=jnp.bfloat16):
+    """Cast the hash/embedding tables — the dominant parameter mass of the
+    hash families (MBs of table vs KBs of decoder) — to ``dtype``.
+
+    bf16 keeps f32's exponent range with 8 mantissa bits: on TPU it halves
+    the serving artifact / HBM footprint of the baked-in constants while the
+    encode path's arithmetic stays f32 (gathered rows promote on first use).
+    The reference's tcnn backend stores its tables in fp16 for the same
+    reason (hash_config.json; tinycudann's native precision). Returns a new
+    params pytree; training state/optimizer are untouched (this is a
+    SERVING-side quantization, applied after the fit).
+    """
+    def cast(path, leaf):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "table":
+            return jnp.asarray(leaf, dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(cast, params)
 
 
 def _build_eval_fn(model: Model, params, state, shape, lo, hi, chunk_size, frame_idx):
@@ -60,11 +82,16 @@ def export_evaluator_bytes(
     chunk_size: int = 1 << 15,
     frame_idx: Optional[int] = None,
     platforms: Optional[Sequence[str]] = None,
+    table_dtype=None,
 ) -> bytes:
     """Serialize the dense-grid evaluator to StableHLO bytes.
 
     ``platforms``: lowering platforms (default: the current backend).
+    ``table_dtype``: quantize the hash tables in the baked constants (e.g.
+    ``jnp.bfloat16`` halves the artifact; see :func:`quantize_tables`).
     """
+    if table_dtype is not None:
+        params = quantize_tables(params, table_dtype)
     fn, shape = _build_eval_fn(model, params, state, shape, lo, hi, chunk_size, frame_idx)
     kwargs = {"platforms": list(platforms)} if platforms else {}
     exported = jax_export.export(jax.jit(fn), **kwargs)()

@@ -176,6 +176,48 @@ class TestServingExport:
         assert vol.shape == shape
         np.testing.assert_allclose(vol, ref, atol=1e-6)
 
+    def test_bf16_table_quantization(self, tmp_path):
+        """Serving-side table quantization: half the artifact, tiny error
+        (bf16 keeps f32's exponent with 8 mantissa bits — quantization noise
+        sits far below reconstruction error)."""
+        import jax.numpy as jnp
+
+        from mri_interpolation_tpu.infer import (
+            evaluate_grid, load_evaluator, quantize_tables, save_evaluator)
+        from mri_interpolation_tpu.io import dataset_from_array, synthetic_volume
+        from mri_interpolation_tpu.models import make_hash_mlp
+        from mri_interpolation_tpu.train import TrainConfig, Trainer
+
+        model = make_hash_mlp(dim_in=3, n_levels=3, n_features_per_level=2,
+                              log2_hashmap_size=12, base_resolution=(4, 4, 2),
+                              finest_resolution=(16, 16, 8), dim_hidden=16,
+                              n_layers=2, decoder="relu_plain")
+        ds = dataset_from_array(synthetic_volume((12, 12, 8), seed=0))
+        r = Trainer(TrainConfig(batch_size=512, epochs=3, lr=1e-2, seed=0)).fit(
+            model, ds.coords, ds.values)
+
+        qp = quantize_tables(r.params)
+        assert qp["encoder"]["table"].dtype == jnp.bfloat16
+        # decoder weights untouched
+        assert jax.tree_util.tree_leaves(
+            {k: v for k, v in qp.items() if k != "encoder"})[0].dtype == jnp.float32
+
+        shape = (12, 12, 8)
+        ref = evaluate_grid(model, r.params, r.state, shape, chunk_size=1 << 12)
+        got = evaluate_grid(model, qp, r.state, shape, chunk_size=1 << 12)
+        err = float(np.max(np.abs(got - ref)))
+        assert err < 5e-3, err  # bf16 relative step ~0.4%
+
+        # exported artifact: quantized constants halve the table bytes
+        p32 = save_evaluator(str(tmp_path / "f32.bin"), model, r.params, r.state, shape)
+        p16 = save_evaluator(str(tmp_path / "bf16.bin"), model, r.params, r.state,
+                             shape, table_dtype=jnp.bfloat16)
+        import os
+        table_bytes = np.asarray(r.params["encoder"]["table"]).nbytes
+        assert os.path.getsize(p32) - os.path.getsize(p16) > 0.4 * table_bytes
+        vol = load_evaluator(p16)()
+        np.testing.assert_allclose(vol, ref, atol=5e-3)
+
     def test_exported_artifact_is_self_contained(self, tmp_path):
         """The artifact must execute without the model object (params baked)."""
         from mri_interpolation_tpu.infer import load_evaluator, save_evaluator
