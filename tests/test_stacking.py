@@ -180,3 +180,26 @@ def test_stacked_interp_eval_picks_registration_on_motion():
     mse_f = float(np.mean((recon[..., 1::2] - img[..., 1::2]) ** 2))
     mse_l = float(np.mean((lin - img[..., 1::2]) ** 2))
     assert mse_f < mse_l
+
+
+def test_stacked_interp_eval_4d_include_subset():
+    """The --stacked4d configuration shape: a 4-D (x,y,z,t) volume, an
+    ``include`` subset riding the warp kwargs, and a base_resolution
+    override for the warp family's canonical encoder."""
+    rng = np.random.default_rng(5)
+    base = rng.random((6, 6, 3), dtype=np.float32)
+    drift = rng.random((6, 6, 3), dtype=np.float32) * 0.1
+    img = np.stack([base + t / 6.0 * drift for t in range(7)], axis=-1)
+
+    cfg = TrainConfig(batch_size=256, epochs=1, lr=1e-2, seed=0)
+    recon, q = stacked_interp_eval(
+        img, cfg, seeds=(0,),
+        include=("warp", "cubic", "linear"),
+        base_resolution=(4, 4, 2),
+        warp_hidden=8, warp_layers=2, dim_hidden=8, n_layers=2,
+        n_levels=2, n_features_per_level=1, log2_hashmap_size=8,
+        finest_resolution=(6, 6, 3))
+    assert recon.shape == img.shape
+    np.testing.assert_allclose(recon[..., ::2], img[..., ::2], atol=0)
+    assert set(q["weights"]["global"]) == {"warp", "cubic", "linear"}
+    assert np.isfinite(q["odd"]["psnr"])
