@@ -71,6 +71,21 @@ def simplex_lstsq_ridge(preds: np.ndarray, target: np.ndarray, lam: float,
     return w
 
 
+def affine_lstsq_ridge(preds: np.ndarray, target: np.ndarray, lam: float) -> np.ndarray:
+    """Sum-to-one but SIGNED weights (affine combination): closed-form
+    equality-constrained ridge. Signed weights can cancel correlated family
+    errors — and can also overfit 6 folds; nested selection adjudicates."""
+    F = preds.shape[0]
+    G = preds @ preds.T / preds.shape[1]
+    b = preds @ target / preds.shape[1]
+    G = G + lam * (np.trace(G) / F) * np.eye(F)
+    Gi = np.linalg.inv(G)
+    one = np.ones(F)
+    w = Gi @ b
+    mu = (1.0 - one @ w) / (one @ Gi @ one)
+    return w + mu * (Gi @ one)
+
+
 def load_folds(cache_dir: str, img: np.ndarray):
     """(names, folds, deploy, t_odd): folds = [(t_held, preds (F,S), target (S))]."""
     train_img, _ = even_frame_split(img)
@@ -92,31 +107,35 @@ def load_folds(cache_dir: str, img: np.ndarray):
     return names, folds, deploy, t_odd
 
 
-def solve_weights(folds, names, t_new, lam: float, shrink: float):
-    """Global + per-position ridge simplex solve -> (len(t_new), F) weights."""
+def solve_weights(folds, names, t_new, lam: float, shrink: float,
+                  solver=simplex_lstsq_ridge, clip: bool = True):
+    """Global + per-position ridge solve -> (len(t_new), F) weights."""
     F = len(names)
     all_p = np.concatenate([p.reshape(F, -1) for _, p, _ in folds], axis=1)
     all_t = np.concatenate([t.reshape(-1) for _, _, t in folds])
-    w_global = simplex_lstsq_ridge(all_p, all_t, lam)
+    w_global = solver(all_p, all_t, lam)
     pos = np.asarray([t for t, _, _ in folds])
     w_pos = np.stack([
         shrink * w_global + (1.0 - shrink)
-        * simplex_lstsq_ridge(p.reshape(F, -1), t.reshape(-1), lam)
+        * solver(p.reshape(F, -1), t.reshape(-1), lam)
         for _, p, t in folds
     ])
     w_new = np.stack([np.interp(t_new, pos, w_pos[:, f]) for f in range(F)], axis=-1)
-    w_new = np.maximum(w_new, 0.0)
+    if clip:
+        w_new = np.maximum(w_new, 0.0)
     w_new /= w_new.sum(axis=-1, keepdims=True)
     return w_new, w_global
 
 
-def nested_score(folds, names, lam: float, shrink: float) -> float:
+def nested_score(folds, names, lam: float, shrink: float,
+                 solver=simplex_lstsq_ridge, clip: bool = True) -> float:
     """Hold out each fold; solve on the rest; MSE on the held fold."""
     errs = []
     for j in range(len(folds)):
         rest = folds[:j] + folds[j + 1:]
         t_held, preds, target = folds[j]
-        w, _ = solve_weights(rest, names, np.asarray([t_held]), lam, shrink)
+        w, _ = solve_weights(rest, names, np.asarray([t_held]), lam, shrink,
+                             solver=solver, clip=clip)
         fused = np.einsum("f...,f->...", preds, w[0])
         errs.append(float(np.mean((fused - target) ** 2)))
     return float(np.mean(errs))
@@ -258,12 +277,16 @@ def main():
 
     lams = [float(x) for x in args.lams.split(",")]
     shrinks = [float(x) for x in args.shrinks.split(",")]
+    solvers = {"simplex": (simplex_lstsq_ridge, True),
+               "affine": (affine_lstsq_ridge, False)}
     rows = []
-    for lam in lams:
-        for shrink in shrinks:
-            ns = nested_score(folds, names, lam, shrink)
-            rows.append({"lam": lam, "shrink": shrink, "nested_mse": ns})
-            print(json.dumps(rows[-1]), flush=True)
+    for solver_name, (solver, clip) in solvers.items():
+        for lam in lams:
+            for shrink in shrinks:
+                ns = nested_score(folds, names, lam, shrink, solver, clip)
+                rows.append({"solver": solver_name, "lam": lam,
+                             "shrink": shrink, "nested_mse": ns})
+                print(json.dumps(rows[-1]), flush=True)
     rows.sort(key=lambda r: r["nested_mse"])
     best = rows[0]
     print("nested-selected:", json.dumps(best))
@@ -273,10 +296,12 @@ def main():
     # for the nested-selected configuration.
     print("\n# deployment scores (diagnostic)")
     for r in rows:
-        w_new, w_global = solve_weights(folds, names, t_odd, r["lam"], r["shrink"])
+        solver, clip = solvers[r["solver"]]
+        w_new, w_global = solve_weights(folds, names, t_odd, r["lam"], r["shrink"],
+                                        solver=solver, clip=clip)
         fused = np.einsum("f...t,tf->...t", deploy, w_new)
         mse = float(np.mean((fused - odd_img) ** 2))
-        rec = {"lam": r["lam"], "shrink": r["shrink"],
+        rec = {"solver": r["solver"], "lam": r["lam"], "shrink": r["shrink"],
                "odd_psnr": round(-10.0 * np.log10(mse), 3),
                "weights": {n: round(float(x), 3)
                            for n, x in zip(names, w_global)}}
