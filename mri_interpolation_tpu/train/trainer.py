@@ -301,6 +301,151 @@ class Trainer:
         )
 
     # ------------------------------------------------------------------
+    def fit_streaming(
+        self,
+        model: Model,
+        volume,
+        shard_voxels: int = 1 << 22,
+        lo: float = 0.0,
+        hi: float = 1.0,
+        value_range=None,
+        params=None,
+        state=None,
+    ) -> TrainResult:
+        """Out-of-core fitting for volumes larger than HBM (or host RAM).
+
+        ``fit`` keeps the whole (coords, values) set device-resident — the
+        right call for this workload's ~45 MB, but a production 4D series can
+        be tens of GBs. Here only one ``shard_voxels``-sized shard lives on
+        device at a time: each epoch globally permutes the flat voxel indices
+        on host (so batches are unbiased draws, not shard-local ones), slices
+        them into equal shards, synthesizes each shard's coordinates on host
+        from the indices (no materialized full coords array — another 4x the
+        volume bytes saved), and runs ONE jitted scan per shard. The next
+        shard's host synthesis + H2D copy overlap the current shard's device
+        compute (dispatch is async; double buffering). ``volume`` may be any
+        array-like including ``np.memmap`` — values are fancy-indexed per
+        shard, so the full volume is never required in memory.
+
+        Values are min-max normalized to [0,1] like ``io.dataset_from_array``;
+        ``value_range=(vmin, vmax)`` supplies the range directly (skips the
+        one chunked scan over the source that otherwise computes it), and
+        ``value_range=False`` disables normalization.
+
+        Optimizer, schedules, freeze masks, remat and loss come from the same
+        ``TrainConfig`` machinery as ``fit``.
+        """
+        cfg = self.config
+        shape = tuple(int(s) for s in volume.shape)
+        n = int(np.prod(shape))
+        if n >= 2**31:
+            raise ValueError(f"grid {shape} exceeds int32 flat indexing")
+        batch = min(cfg.batch_size, n)
+        shard = min(max(shard_voxels, batch), n)
+        steps_per_shard = shard // batch  # equal static shapes; tail wraps
+        shard = steps_per_shard * batch
+        n_shards = -(-n // shard)
+        steps_per_epoch = n_shards * steps_per_shard
+
+        key = jax.random.key(cfg.seed)
+        if params is None:
+            key, k_init = jax.random.split(key)
+            params, state = model.init(k_init)
+        state = state if state is not None else {}
+
+        tx = make_optimizer(cfg, steps_per_epoch)
+        tx = self._wrap_freeze(tx, params)
+        opt_state = tx.init(params)
+        loss_fn = self._loss_fn(model)
+
+        def shard_fn(params, state, opt_state, key0, coords, values):
+            """One shard: scan over pre-shuffled fixed-size batches."""
+            xb = coords.reshape(steps_per_shard, batch, -1)
+            yb = values.reshape(steps_per_shard, batch, -1)
+
+            def body(carry, xy):
+                params, state, opt_state, k = carry
+                k, k_step = jax.random.split(k)
+                (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, state, xy, k_step
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, new_state, opt_state, k), loss
+
+            (params, state, opt_state, _), losses = jax.lax.scan(
+                body, (params, state, opt_state, key0), (xb, yb)
+            )
+            return params, state, opt_state, losses
+
+        shard_jit = jax.jit(shard_fn, donate_argnums=(0, 1, 2))
+
+        strides = np.concatenate([np.cumprod(shape[::-1])[::-1][1:], [1]]).astype(np.int64)
+        flat_values = volume.reshape(-1) if hasattr(volume, "reshape") else np.asarray(volume).reshape(-1)
+
+        # min-max normalization (io.normalize_intensity semantics) without
+        # requiring the volume in memory: one chunked pass for the range.
+        if value_range is None:
+            vmin, vmax = np.inf, -np.inf
+            for start in range(0, n, shard):
+                c = np.asarray(flat_values[start:start + shard], np.float32)
+                vmin, vmax = min(vmin, float(c.min())), max(vmax, float(c.max()))
+        elif value_range is False:
+            vmin, vmax = 0.0, 1.0
+        else:
+            vmin, vmax = (float(v) for v in value_range)
+        vscale = 1.0 / max(vmax - vmin, 1e-12)
+
+        def host_shard(idx: np.ndarray):
+            """Synthesize (coords, values) for flat indices on host (numpy —
+            mirrors infer.grid.flat_index_to_coords / io.make_mgrid)."""
+            coords = np.empty((idx.size, len(shape)), np.float32)
+            for k in range(len(shape)):
+                digit = (idx // strides[k]) % shape[k]
+                coords[:, k] = lo + (hi - lo) * digit / max(shape[k] - 1, 1)
+            vals = (np.asarray(flat_values[idx], np.float32) - vmin) * vscale
+            return jax.device_put(coords), jax.device_put(vals.reshape(-1, 1))
+
+        rng = np.random.default_rng(cfg.seed)
+        all_losses, epoch_times = [], []
+        t0 = time.perf_counter()
+        for e in range(cfg.epochs):
+            te = time.perf_counter()
+            perm = rng.permutation(n).astype(np.int64)
+            pad = n_shards * shard - n
+            if pad:
+                perm = np.concatenate([perm, perm[:pad]])
+            pending = host_shard(perm[:shard])
+            epoch_losses = []
+            for s in range(n_shards):
+                key, ks = jax.random.split(key)
+                coords_d, values_d = pending
+                params, state, opt_state, losses = shard_jit(
+                    params, state, opt_state, ks, coords_d, values_d
+                )
+                if s + 1 < n_shards:  # overlap next H2D with device compute
+                    pending = host_shard(perm[(s + 1) * shard:(s + 2) * shard])
+                epoch_losses.append(losses)
+            jax.block_until_ready(epoch_losses[-1])
+            epoch_times.append(time.perf_counter() - te)
+            all_losses.extend(epoch_losses)
+        jax.block_until_ready(params)
+        wall = time.perf_counter() - t0
+
+        losses_np = np.concatenate([np.asarray(l) for l in all_losses]) if all_losses else np.array([])
+        total_steps = cfg.epochs * steps_per_epoch
+        return TrainResult(
+            params=params,
+            state=state,
+            opt_state=opt_state,
+            losses=losses_np,
+            wall_time_s=wall,
+            steps_per_sec=total_steps / wall if wall > 0 else float("inf"),
+            steps=total_steps,
+            epoch_times_s=np.asarray(epoch_times),
+        )
+
+    # ------------------------------------------------------------------
     def fit_frames(
         self,
         model: Model,
