@@ -57,6 +57,7 @@ class RunConfig:
     cosine_t_max: int = 10
     data_parallel: bool = False          # shard batches over all devices
     shard_tables: bool = False           # tensor-shard the hash table over all devices
+    stream_shard_voxels: int = 0         # >0: out-of-core fit, this many voxels device-resident at a time
 
     # --- model (L3)
     model_class: str = "hash_mlp"        # (--model_class, launcher.py:50-52)

@@ -202,6 +202,19 @@ def run(cfg: RunConfig, run_dir: Optional[str] = None) -> dict:
         from .parallel import DataParallelTrainer
 
         result = DataParallelTrainer(tc).fit(model, train_coords, train_values, params=params, state=state)
+    elif cfg.stream_shard_voxels > 0:
+        # Out-of-core path: only one shard of (coords, values) is
+        # device-resident at a time (Trainer.fit_streaming). The dataset's
+        # values are already min-max normalized, so pass value_range=False.
+        if cfg.even_frames_only or cfg.undersample_pct > 0:
+            raise ValueError(
+                "--stream_shard_voxels streams the FULL volume grid; it does "
+                "not compose with --even_frames_only / --undersample_pct"
+            )
+        result = Trainer(tc).fit_streaming(
+            model, ds.image(), shard_voxels=cfg.stream_shard_voxels,
+            lo=-1.0 if cfg.zero_centered else 0.0, value_range=False,
+            params=params, state=state)
     else:
         result = Trainer(tc).fit(model, train_coords, train_values, params=params, state=state,
                                  eval_fn=eval_fn)

@@ -406,6 +406,12 @@ class Trainer:
             vals = (np.asarray(flat_values[idx], np.float32) - vmin) * vscale
             return jax.device_put(coords), jax.device_put(vals.reshape(-1, 1))
 
+        logger = None
+        if cfg.log_jsonl:
+            from .scalars import ScalarLogger
+
+            logger = ScalarLogger(cfg.log_jsonl)
+
         rng = np.random.default_rng(cfg.seed)
         all_losses, epoch_times = [], []
         t0 = time.perf_counter()
@@ -429,6 +435,12 @@ class Trainer:
             jax.block_until_ready(epoch_losses[-1])
             epoch_times.append(time.perf_counter() - te)
             all_losses.extend(epoch_losses)
+            if logger is not None:
+                logger.log_epoch_losses(
+                    e, e * steps_per_epoch,
+                    np.concatenate([np.asarray(l) for l in epoch_losses]))
+        if logger is not None:
+            logger.close()
         jax.block_until_ready(params)
         wall = time.perf_counter() - t0
 
