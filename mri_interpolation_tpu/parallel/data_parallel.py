@@ -154,6 +154,163 @@ class DataParallelTrainer:
             epoch_times_s=np.asarray(epoch_times),
         )
 
+    # ------------------------------------------------------------------
+    def fit_streaming(
+        self,
+        model: Model,
+        volume,
+        shard_voxels: int = 1 << 22,
+        lo: float = 0.0,
+        hi: float = 1.0,
+        value_range=None,
+        params=None,
+        state=None,
+    ) -> TrainResult:
+        """Out-of-core + data-parallel: ``Trainer.fit_streaming``'s shard
+        rotation with each shard ROW-SHARDED over the mesh instead of
+        replicated — device-local batches, pmean'd grads/statistics over ICI,
+        replicated update. Unlike ``fit`` (whole dataset replicated per
+        device), per-device HBM holds only ``shard_voxels / n_devices``
+        voxels, so the reachable volume scales with BOTH the shard knob and
+        the mesh size. ``volume`` may be an ``np.memmap``.
+        """
+        cfg = self.config
+        shape = tuple(int(s) for s in volume.shape)
+        n = int(np.prod(shape))
+        if n >= 2**31:
+            raise ValueError(f"grid {shape} exceeds int32 flat indexing")
+        ndev = self.n_devices
+        batch = min(cfg.batch_size, n)
+        batch -= batch % ndev
+        if batch == 0:
+            raise ValueError(f"batch_size {cfg.batch_size} < n_devices {ndev}")
+        local_batch = batch // ndev
+        shard = min(max(shard_voxels, batch), n)
+        steps_per_shard = shard // batch
+        shard = steps_per_shard * batch
+        n_shards = -(-n // shard)
+        steps_per_epoch = n_shards * steps_per_shard
+
+        key = jax.random.key(cfg.seed)
+        if params is None:
+            key, k_init = jax.random.split(key)
+            params, state = model.init(k_init)
+        state = state if state is not None else {}
+
+        tx = make_optimizer(cfg, steps_per_epoch)
+        opt_state = tx.init(params)
+        base_loss = get_loss(cfg.loss)
+        axis = self.axis
+
+        repl = NamedSharding(self.mesh, P())
+        rows = NamedSharding(self.mesh, P("data"))
+        params = jax.device_put(params, repl)
+        state = jax.device_put(state, repl)
+        opt_state = jax.device_put(opt_state, repl)
+
+        def shard_stream(params, state, opt_state, key0, coords_l, values_l):
+            """Per-device: scan over this device's pre-shuffled batch rows."""
+            xb = coords_l.reshape(steps_per_shard, local_batch, -1)
+            yb = values_l.reshape(steps_per_shard, local_batch, -1)
+
+            def body(carry, xy):
+                params, state, opt_state, k = carry
+                k, k_step = jax.random.split(k)
+                x, y = xy
+
+                def loss_fn(p, s):
+                    if model.loss_fn is not None:
+                        return model.loss_fn(p, s, (x, y), k_step, True)
+                    y_pred, ns = model.apply(p, s, x, train=True, rng=k_step)
+                    return base_loss(y_pred, y), ns
+
+                (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, state)
+                grads = jax.lax.pmean(grads, axis)
+                new_state = jax.lax.pmean(new_state, axis) if new_state else new_state
+                loss = jax.lax.pmean(loss, axis)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, new_state, opt_state, k), loss
+
+            (params, state, opt_state, _), losses = jax.lax.scan(
+                body, (params, state, opt_state, key0), (xb, yb)
+            )
+            return params, state, opt_state, losses
+
+        smap = shard_map(
+            shard_stream,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P("data"), P("data")),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+        shard_jit = jax.jit(smap, donate_argnums=(0, 1, 2))
+
+        strides = np.concatenate([np.cumprod(shape[::-1])[::-1][1:], [1]]).astype(np.int64)
+        flat_values = volume.reshape(-1) if hasattr(volume, "reshape") else np.asarray(volume).reshape(-1)
+        if value_range is None:
+            vmin, vmax = np.inf, -np.inf
+            for start in range(0, n, shard):
+                c = np.asarray(flat_values[start:start + shard], np.float32)
+                vmin, vmax = min(vmin, float(c.min())), max(vmax, float(c.max()))
+        elif value_range is False:
+            vmin, vmax = 0.0, 1.0
+        else:
+            vmin, vmax = (float(v) for v in value_range)
+        vscale = 1.0 / max(vmax - vmin, 1e-12)
+
+        def host_shard(idx: np.ndarray):
+            # device d must see rows usable as (steps, local_batch): global
+            # batch layout (steps, ndev, local) -> row-shard layout
+            # (ndev, steps, local) so P("data") hands each device its column.
+            idx = idx.reshape(steps_per_shard, ndev, local_batch).transpose(1, 0, 2).reshape(-1)
+            coords = np.empty((idx.size, len(shape)), np.float32)
+            for k in range(len(shape)):
+                digit = (idx // strides[k]) % shape[k]
+                coords[:, k] = lo + (hi - lo) * digit / max(shape[k] - 1, 1)
+            vals = (np.asarray(flat_values[idx], np.float32) - vmin) * vscale
+            return (jax.device_put(coords, rows),
+                    jax.device_put(vals.reshape(-1, 1), rows))
+
+        rng = np.random.default_rng(cfg.seed)
+        all_losses, epoch_times = [], []
+        t0 = time.perf_counter()
+        for e in range(cfg.epochs):
+            te = time.perf_counter()
+            perm = rng.permutation(n).astype(np.int64)
+            pad = n_shards * shard - n
+            if pad:
+                perm = np.concatenate([perm, perm[:pad]])
+            pending = host_shard(perm[:shard])
+            epoch_losses = []
+            for s in range(n_shards):
+                key, ks = jax.random.split(key)
+                coords_d, values_d = pending
+                params, state, opt_state, losses = shard_jit(
+                    params, state, opt_state, ks, coords_d, values_d
+                )
+                if s + 1 < n_shards:
+                    pending = host_shard(perm[(s + 1) * shard:(s + 2) * shard])
+                epoch_losses.append(losses)
+            jax.block_until_ready(epoch_losses[-1])
+            epoch_times.append(time.perf_counter() - te)
+            all_losses.extend(epoch_losses)
+        jax.block_until_ready(params)
+        wall = time.perf_counter() - t0
+
+        losses_np = np.concatenate([np.asarray(l) for l in all_losses]) if all_losses else np.array([])
+        total_steps = cfg.epochs * steps_per_epoch
+        return TrainResult(
+            params=params,
+            state=state,
+            opt_state=opt_state,
+            losses=losses_np,
+            wall_time_s=wall,
+            steps_per_sec=total_steps / wall if wall else float("inf"),
+            steps=total_steps,
+            epoch_times_s=np.asarray(epoch_times),
+        )
+
 
 # ---------------------------------------------------------------------------
 

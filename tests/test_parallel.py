@@ -110,3 +110,32 @@ class TestShardedInference:
         out = evaluate_grid_sharded(model, params, state, (7, 9), mesh=mesh8, chunk_size=8)
         assert out.shape == (7, 9)
         assert np.isfinite(out).all()
+
+
+class TestDataParallelStreaming:
+    def test_streaming_converges_on_mesh(self, mesh8):
+        vol = synthetic_volume((12, 12, 8), seed=0)
+        model = make_siren(dim_in=3, dim_hidden=16, n_layers=2)
+        cfg = TrainConfig(batch_size=192, epochs=8, lr=2e-3, seed=0)
+        r = DataParallelTrainer(cfg, mesh=mesh8).fit_streaming(
+            model, vol, shard_voxels=400)
+        # shard=384 (2 steps x 8 dev x 24 local), n=1152 -> 3 shards/epoch
+        assert r.steps == 8 * 3 * 2
+        assert np.isfinite(r.losses).all()
+        assert r.losses[-1] < 0.5 * r.losses[0]
+
+    def test_streaming_matches_single_device_streaming(self, mesh8):
+        """Same host permutation (same np seed) + same per-step RNG => the
+        DP-streamed loss curve tracks Trainer.fit_streaming closely (the
+        global batch is the same rows; only the reduction layout differs)."""
+        vol = synthetic_volume((10, 10, 6), seed=1)
+        cfg = TrainConfig(batch_size=200, epochs=3, lr=1e-3, seed=4)
+
+        def make():
+            return make_siren(dim_in=3, dim_hidden=16, n_layers=2)
+
+        r1 = Trainer(cfg).fit_streaming(make(), vol, shard_voxels=400)
+        r8 = DataParallelTrainer(cfg, mesh=mesh8).fit_streaming(
+            make(), vol, shard_voxels=400)
+        assert r1.losses.shape == r8.losses.shape
+        np.testing.assert_allclose(r1.losses, r8.losses, rtol=2e-2, atol=1e-4)
