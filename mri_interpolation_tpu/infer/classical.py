@@ -98,12 +98,22 @@ def temporal_upsample_classical(
       (infer/registration.py) — motion-compensated, no cross-fade ghosting.
     - ``registration_group``: group temporal registration; in-between motion
       interpolated from one coherent trajectory (Catmull-Rom over fields).
+
+    The observed-frames-on-even-outputs layout requires
+    ``t_full in (2*T - 1, 2*T)`` for a T-frame ``src`` (the registration
+    methods already enforce it); other ratios raise rather than silently
+    placing kept frames off-grid.
     """
+    T = src.shape[-1]
+    if method != "linear" and t_full not in (2 * T - 1, 2 * T):
+        raise ValueError(
+            f"t_full={t_full} incompatible with {T} source frames for "
+            f"method={method!r} (expected 2T-1 or 2T; observed frames land "
+            f"on every other output frame)")
     if method == "linear":
         return linear_interpolate_volume(src, src.shape[:-1] + (t_full,))
     if method == "cubic":
-        T = src.shape[-1]
-        t_keep = [2 * j / (t_full - 1) for j in range(T)]
+        t_keep = [min(2 * j, t_full - 1) / (t_full - 1) for j in range(T)]
         t_eval = [i / (t_full - 1) for i in range(t_full)]
         return cubic_interpolate_frames(src, t_keep, t_eval)
     if method == "registration":

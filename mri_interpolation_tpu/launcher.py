@@ -195,26 +195,35 @@ def run(cfg: RunConfig, run_dir: Optional[str] = None) -> dict:
         # Tensor-shard the hash table over the mesh (tables that exceed one
         # chip's HBM — parallel/sharded_table.py). Composes the model's own
         # decoder semantics; requires a make_hash_mlp-family model.
+        if cfg.stream_shard_voxels > 0:
+            raise ValueError("--stream_shard_voxels does not compose with --shard_tables")
         from .parallel import ShardedHashTrainer
 
         result = ShardedHashTrainer(tc).fit(model, train_coords, train_values, params=params, state=state)
-    elif cfg.data_parallel and len(jax.devices()) > 1:
-        from .parallel import DataParallelTrainer
-
-        result = DataParallelTrainer(tc).fit(model, train_coords, train_values, params=params, state=state)
     elif cfg.stream_shard_voxels > 0:
         # Out-of-core path: only one shard of (coords, values) is
-        # device-resident at a time (Trainer.fit_streaming). The dataset's
-        # values are already min-max normalized, so pass value_range=False.
+        # device-resident at a time. The dataset's values are already
+        # min-max normalized, so pass value_range=False. With
+        # --data_parallel the shard is row-sharded over the mesh
+        # (DataParallelTrainer.fit_streaming) instead of single-device.
         if cfg.even_frames_only or cfg.undersample_pct > 0:
             raise ValueError(
                 "--stream_shard_voxels streams the FULL volume grid; it does "
                 "not compose with --even_frames_only / --undersample_pct"
             )
-        result = Trainer(tc).fit_streaming(
-            model, ds.image(), shard_voxels=cfg.stream_shard_voxels,
-            lo=-1.0 if cfg.zero_centered else 0.0, value_range=False,
-            params=params, state=state)
+        stream_kw = dict(shard_voxels=cfg.stream_shard_voxels,
+                         lo=-1.0 if cfg.zero_centered else 0.0,
+                         value_range=False, params=params, state=state)
+        if cfg.data_parallel and len(jax.devices()) > 1:
+            from .parallel import DataParallelTrainer
+
+            result = DataParallelTrainer(tc).fit_streaming(model, ds.image(), **stream_kw)
+        else:
+            result = Trainer(tc).fit_streaming(model, ds.image(), eval_fn=eval_fn, **stream_kw)
+    elif cfg.data_parallel and len(jax.devices()) > 1:
+        from .parallel import DataParallelTrainer
+
+        result = DataParallelTrainer(tc).fit(model, train_coords, train_values, params=params, state=state)
     else:
         result = Trainer(tc).fit(model, train_coords, train_values, params=params, state=state,
                                  eval_fn=eval_fn)

@@ -29,7 +29,19 @@ from jax import shard_map
 from ..infer.grid import flat_index_to_coords
 from ..models.core import Model
 from ..train.losses import get_loss
-from ..train.trainer import TrainConfig, TrainResult, make_optimizer
+from ..train.trainer import (
+    TrainConfig,
+    TrainResult,
+    make_host_shard_fn,
+    make_optimizer,
+    resolve_value_range,
+)
+
+
+def _maybe_remat(loss_fn, cfg: TrainConfig):
+    """Apply TrainConfig.remat to an inline per-batch loss (parity with
+    Trainer._loss_fn — the flag must not be a silent no-op under DP)."""
+    return jax.checkpoint(loss_fn) if cfg.remat else loss_fn
 
 __all__ = ["DataParallelTrainer", "fit_multi_volume", "evaluate_grid_sharded"]
 
@@ -107,7 +119,7 @@ class DataParallelTrainer:
                     y_pred, ns = model.apply(p, s, xb, train=True, rng=k_step)
                     return base_loss(y_pred, yb), ns
 
-                (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, state)
+                (loss, new_state), grads = jax.value_and_grad(_maybe_remat(loss_fn, cfg), has_aux=True)(params, state)
                 # ICI collectives: average grads/statistics across the mesh.
                 grads = jax.lax.pmean(grads, axis)
                 new_state = jax.lax.pmean(new_state, axis) if new_state else new_state
@@ -224,7 +236,7 @@ class DataParallelTrainer:
                     y_pred, ns = model.apply(p, s, x, train=True, rng=k_step)
                     return base_loss(y_pred, y), ns
 
-                (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, state)
+                (loss, new_state), grads = jax.value_and_grad(_maybe_remat(loss_fn, cfg), has_aux=True)(params, state)
                 grads = jax.lax.pmean(grads, axis)
                 new_state = jax.lax.pmean(new_state, axis) if new_state else new_state
                 loss = jax.lax.pmean(loss, axis)
@@ -246,31 +258,17 @@ class DataParallelTrainer:
         )
         shard_jit = jax.jit(smap, donate_argnums=(0, 1, 2))
 
-        strides = np.concatenate([np.cumprod(shape[::-1])[::-1][1:], [1]]).astype(np.int64)
         flat_values = volume.reshape(-1) if hasattr(volume, "reshape") else np.asarray(volume).reshape(-1)
-        if value_range is None:
-            vmin, vmax = np.inf, -np.inf
-            for start in range(0, n, shard):
-                c = np.asarray(flat_values[start:start + shard], np.float32)
-                vmin, vmax = min(vmin, float(c.min())), max(vmax, float(c.max()))
-        elif value_range is False:
-            vmin, vmax = 0.0, 1.0
-        else:
-            vmin, vmax = (float(v) for v in value_range)
-        vscale = 1.0 / max(vmax - vmin, 1e-12)
+        vmin, vscale = resolve_value_range(flat_values, n, shard, value_range)
+        synth = make_host_shard_fn(shape, lo, hi, flat_values, vmin, vscale)
 
         def host_shard(idx: np.ndarray):
             # device d must see rows usable as (steps, local_batch): global
             # batch layout (steps, ndev, local) -> row-shard layout
             # (ndev, steps, local) so P("data") hands each device its column.
             idx = idx.reshape(steps_per_shard, ndev, local_batch).transpose(1, 0, 2).reshape(-1)
-            coords = np.empty((idx.size, len(shape)), np.float32)
-            for k in range(len(shape)):
-                digit = (idx // strides[k]) % shape[k]
-                coords[:, k] = lo + (hi - lo) * digit / max(shape[k] - 1, 1)
-            vals = (np.asarray(flat_values[idx], np.float32) - vmin) * vscale
-            return (jax.device_put(coords, rows),
-                    jax.device_put(vals.reshape(-1, 1), rows))
+            coords, vals = synth(idx)
+            return jax.device_put(coords, rows), jax.device_put(vals, rows)
 
         rng = np.random.default_rng(cfg.seed)
         all_losses, epoch_times = [], []
@@ -371,7 +369,7 @@ def fit_multi_volume(
                 y_pred, ns = model.apply(p, s, xb, train=True, rng=k_step)
                 return base_loss(y_pred, yb), ns
 
-            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, state)
+            (loss, new_state), grads = jax.value_and_grad(_maybe_remat(loss_fn, config), has_aux=True)(params, state)
             updates, opt_state = tx.update(grads, opt_state, params)
             return (optax.apply_updates(params, updates), new_state, opt_state, k), loss
 

@@ -428,6 +428,11 @@ class ShardedHashTrainer:
                         loss = loss + temporal_tv * jax.lax.psum(tv_local, axis) / tv_count
                     return loss, new_state
 
+                if cfg.remat:
+                    # parity with Trainer._loss_fn: TrainConfig.remat must not
+                    # be a silent no-op here (recompute includes the local TV
+                    # psum — one extra cheap scalar collective in backward).
+                    loss_fn = jax.checkpoint(loss_fn)
                 (loss, new_state), (g_tab, g_dec) = jax.value_and_grad(
                     loss_fn, argnums=(0, 1), has_aux=True
                 )(local_table, dec_params)

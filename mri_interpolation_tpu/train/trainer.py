@@ -143,6 +143,40 @@ def make_optimizer(cfg: TrainConfig, n_steps_per_epoch: int = 1):
     return tx
 
 
+def resolve_value_range(flat_values, n: int, chunk: int, value_range):
+    """(vmin, vscale) for streaming min-max normalization
+    (io.normalize_intensity semantics). ``None`` scans the source in chunks
+    (memmap-friendly); ``False`` disables; a (vmin, vmax) tuple is direct."""
+    if value_range is None:
+        vmin, vmax = np.inf, -np.inf
+        for start in range(0, n, chunk):
+            c = np.asarray(flat_values[start:start + chunk], np.float32)
+            vmin, vmax = min(vmin, float(c.min())), max(vmax, float(c.max()))
+    elif value_range is False:
+        vmin, vmax = 0.0, 1.0
+    else:
+        vmin, vmax = (float(v) for v in value_range)
+    return vmin, 1.0 / max(vmax - vmin, 1e-12)
+
+
+def make_host_shard_fn(shape, lo, hi, flat_values, vmin, vscale):
+    """Host-side (coords, values) synthesis for flat voxel indices (numpy —
+    mirrors infer.grid.flat_index_to_coords / io.make_mgrid). Shared by the
+    single-device and data-parallel streaming fits."""
+    shape = tuple(int(s) for s in shape)
+    strides = np.concatenate([np.cumprod(shape[::-1])[::-1][1:], [1]]).astype(np.int64)
+
+    def host_shard(idx: np.ndarray):
+        coords = np.empty((idx.size, len(shape)), np.float32)
+        for k in range(len(shape)):
+            digit = (idx // strides[k]) % shape[k]
+            coords[:, k] = lo + (hi - lo) * digit / max(shape[k] - 1, 1)
+        vals = (np.asarray(flat_values[idx], np.float32) - vmin) * vscale
+        return coords, vals.reshape(-1, 1)
+
+    return host_shard
+
+
 class Trainer:
     """Fits a Model to a device-resident (coords, values) regression set."""
 
@@ -311,8 +345,9 @@ class Trainer:
         value_range=None,
         params=None,
         state=None,
+        eval_fn: Optional[Callable] = None,
     ) -> TrainResult:
-        """Out-of-core fitting for volumes larger than HBM (or host RAM).
+        """Out-of-core fitting for volumes larger than HBM.
 
         ``fit`` keeps the whole (coords, values) set device-resident — the
         right call for this workload's ~45 MB, but a production 4D series can
@@ -325,7 +360,9 @@ class Trainer:
         shard's host synthesis + H2D copy overlap the current shard's device
         compute (dispatch is async; double buffering). ``volume`` may be any
         array-like including ``np.memmap`` — values are fancy-indexed per
-        shard, so the full volume is never required in memory.
+        shard, so the full volume is never required in memory. Host RAM still
+        pays ~8 bytes/voxel for the per-epoch int64 permutation (bounded by
+        the 2^31 flat-index cap), which is what buys unbiased global batches.
 
         Values are min-max normalized to [0,1] like ``io.dataset_from_array``;
         ``value_range=(vmin, vmax)`` supplies the range directly (skips the
@@ -380,31 +417,13 @@ class Trainer:
 
         shard_jit = jax.jit(shard_fn, donate_argnums=(0, 1, 2))
 
-        strides = np.concatenate([np.cumprod(shape[::-1])[::-1][1:], [1]]).astype(np.int64)
         flat_values = volume.reshape(-1) if hasattr(volume, "reshape") else np.asarray(volume).reshape(-1)
-
-        # min-max normalization (io.normalize_intensity semantics) without
-        # requiring the volume in memory: one chunked pass for the range.
-        if value_range is None:
-            vmin, vmax = np.inf, -np.inf
-            for start in range(0, n, shard):
-                c = np.asarray(flat_values[start:start + shard], np.float32)
-                vmin, vmax = min(vmin, float(c.min())), max(vmax, float(c.max()))
-        elif value_range is False:
-            vmin, vmax = 0.0, 1.0
-        else:
-            vmin, vmax = (float(v) for v in value_range)
-        vscale = 1.0 / max(vmax - vmin, 1e-12)
+        vmin, vscale = resolve_value_range(flat_values, n, shard, value_range)
+        synth = make_host_shard_fn(shape, lo, hi, flat_values, vmin, vscale)
 
         def host_shard(idx: np.ndarray):
-            """Synthesize (coords, values) for flat indices on host (numpy —
-            mirrors infer.grid.flat_index_to_coords / io.make_mgrid)."""
-            coords = np.empty((idx.size, len(shape)), np.float32)
-            for k in range(len(shape)):
-                digit = (idx // strides[k]) % shape[k]
-                coords[:, k] = lo + (hi - lo) * digit / max(shape[k] - 1, 1)
-            vals = (np.asarray(flat_values[idx], np.float32) - vmin) * vscale
-            return jax.device_put(coords), jax.device_put(vals.reshape(-1, 1))
+            coords, vals = synth(idx)
+            return jax.device_put(coords), jax.device_put(vals)
 
         logger = None
         if cfg.log_jsonl:
@@ -439,6 +458,22 @@ class Trainer:
                 logger.log_epoch_losses(
                     e, e * steps_per_epoch,
                     np.concatenate([np.asarray(l) for l in epoch_losses]))
+            if (
+                eval_fn is not None
+                and logger is not None
+                and cfg.eval_every_epochs > 0
+                and (e + 1) % cfg.eval_every_epochs == 0
+            ):
+                for tag, value in eval_fn(params, state).items():
+                    logger.log((e + 1) * steps_per_epoch, tag, float(value), epoch=e)
+            if (
+                cfg.checkpoint_dir
+                and cfg.checkpoint_every_epochs > 0
+                and (e + 1) % cfg.checkpoint_every_epochs == 0
+            ):
+                from .checkpoint import save_checkpoint
+
+                save_checkpoint(cfg.checkpoint_dir, (e + 1) * steps_per_epoch, params, state, opt_state)
         if logger is not None:
             logger.close()
         jax.block_until_ready(params)

@@ -43,7 +43,6 @@ jax.config.update("jax_platforms", "cpu")
 
 from mri_interpolation_tpu.io import even_frame_split, load_volume
 from mri_interpolation_tpu.metrics import evaluate_reconstruction
-from mri_interpolation_tpu.train.stacking import simplex_lstsq
 
 SAMPLE = "/root/reference/sample_ankle_dyn_mri.nii.gz"
 SLICE = (slice(None), slice(None), 3, slice(None))
@@ -211,9 +210,13 @@ def run_gated(img, names, folds, deploy, t_odd, odd_img):
         k = pos_to_idx[t_held]
         feat = motion_feature(train_img[..., k - 1], train_img[..., k + 1])
         folds_feats.append((preds, target, feat))
-    # deployment features: odd position 2j+1 sits between even frames j, j+1
+    # deployment features: odd position 2j+1 sits between kept frames j, j+1
+    # (clamped for even-length series, whose final odd frame has no right
+    # neighbor — its feature degrades to zero motion)
+    T = train_img.shape[-1]
     dep_feats = np.stack([
-        motion_feature(train_img[..., j], train_img[..., j + 1])
+        motion_feature(train_img[..., min(j, T - 1)],
+                       train_img[..., min(j + 1, T - 1)])
         for j in range(len(t_odd))
     ], axis=-1)
 
