@@ -349,3 +349,37 @@ class TestWarpLauncher:
         import jax
         params, _ = model.init(jax.random.key(0))
         assert "residual" in params
+
+
+class TestStreamingLauncher:
+    def test_streaming_single_device_pipeline(self, tiny_volume_path, tmp_path):
+        cfg = RunConfig(
+            image_path=tiny_volume_path, model_class="siren", batch_size=150,
+            epochs=3, lr=1e-3, dim_hidden=16, n_layers=2,
+            stream_shard_voxels=300, interp_shapes=(),
+            output_root=str(tmp_path / "runs"), save_checkpoint=False,
+        )
+        summary = run(cfg)
+        rd = summary["run_dir"]
+        assert os.path.exists(os.path.join(rd, "pred.nii.gz"))
+        assert os.path.exists(os.path.join(rd, "scalars.jsonl"))
+        assert summary["psnr"] > 5
+
+    def test_streaming_composes_with_data_parallel(self, tiny_volume_path, tmp_path):
+        cfg = RunConfig(
+            image_path=tiny_volume_path, model_class="siren", batch_size=160,
+            epochs=2, lr=1e-3, dim_hidden=16, n_layers=2,
+            stream_shard_voxels=320, data_parallel=True, interp_shapes=(),
+            output_root=str(tmp_path / "runs"), save_checkpoint=False,
+        )
+        summary = run(cfg)
+        assert summary["psnr"] > 5
+
+    def test_streaming_rejects_even_frames(self, tiny_volume_path, tmp_path):
+        cfg = RunConfig(
+            image_path=tiny_volume_path, model_class="siren", batch_size=100,
+            epochs=1, stream_shard_voxels=200, even_frames_only=True,
+            interp_shapes=(), output_root=str(tmp_path / "runs"),
+        )
+        with pytest.raises(ValueError, match="stream_shard_voxels"):
+            run(cfg)
