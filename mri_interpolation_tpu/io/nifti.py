@@ -127,6 +127,37 @@ def load(path: str) -> NiftiImage:
     return from_bytes(raw)
 
 
+def load_memmap(path: str) -> NiftiImage:
+    """Memory-mapped NIfTI: the returned image's ``dataobj`` is a read-only
+    ``np.memmap`` (Fortran-ordered, NIfTI's on-disk layout) — voxels are read
+    from disk on access, so a volume far larger than host RAM can feed
+    ``Trainer.fit_streaming`` directly. Uncompressed ``.nii`` only (gzip
+    streams cannot be mapped); raises with a pointer to ``load`` otherwise.
+
+    Intensity scaling note: min-max normalization (the framework's default,
+    io.normalize_intensity) is invariant under the header's affine
+    scl_slope/inter scaling, so streaming the RAW dataobj with
+    ``value_range=None`` matches streaming ``get_fdata()``.
+    """
+    with open(path, "rb") as f:
+        head = f.read(_HDR_SIZE + 4)
+    if head[:2] == b"\x1f\x8b":
+        raise ValueError(
+            f"{path!r} is gzip-compressed; a gzip stream cannot be "
+            f"memory-mapped — decompress to .nii first or use load()")
+    shape, dtype, pixdim, vox_offset, slope, inter, affine = _parse_header(head)
+    mm = np.memmap(path, dtype=dtype.newbyteorder("<"), mode="r",
+                   offset=max(vox_offset, _HDR_SIZE + 4),
+                   shape=tuple(shape), order="F")
+    return NiftiImage(
+        dataobj=mm,
+        affine=affine,
+        pixdim=tuple(float(p) for p in pixdim),
+        scl_slope=float(slope),
+        scl_inter=float(inter),
+    )
+
+
 def nifti_bytes(
     data: np.ndarray,
     affine: Optional[np.ndarray] = None,

@@ -32,6 +32,7 @@ from ..train.losses import get_loss
 from ..train.trainer import (
     TrainConfig,
     TrainResult,
+    flatten_volume_source,
     make_host_shard_fn,
     make_optimizer,
     resolve_value_range,
@@ -258,9 +259,9 @@ class DataParallelTrainer:
         )
         shard_jit = jax.jit(smap, donate_argnums=(0, 1, 2))
 
-        flat_values = volume.reshape(-1) if hasattr(volume, "reshape") else np.asarray(volume).reshape(-1)
+        flat_values, vorder = flatten_volume_source(volume)
         vmin, vscale = resolve_value_range(flat_values, n, shard, value_range)
-        synth = make_host_shard_fn(shape, lo, hi, flat_values, vmin, vscale)
+        synth = make_host_shard_fn(shape, lo, hi, flat_values, vmin, vscale, vorder)
 
         def host_shard(idx: np.ndarray):
             # device d must see rows usable as (steps, local_batch): global

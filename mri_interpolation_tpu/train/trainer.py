@@ -159,22 +159,44 @@ def resolve_value_range(flat_values, n: int, chunk: int, value_range):
     return vmin, 1.0 / max(vmax - vmin, 1e-12)
 
 
-def make_host_shard_fn(shape, lo, hi, flat_values, vmin, vscale):
+def make_host_shard_fn(shape, lo, hi, flat_values, vmin, vscale, order: str = "C"):
     """Host-side (coords, values) synthesis for flat voxel indices (numpy —
     mirrors infer.grid.flat_index_to_coords / io.make_mgrid). Shared by the
-    single-device and data-parallel streaming fits."""
+    single-device and data-parallel streaming fits.
+
+    ``order="F"``: ``flat_values`` is Fortran-ordered on disk (NIfTI's
+    layout, io.nifti.load_memmap) — the C-order flat index's per-axis digits
+    are re-folded with Fortran strides for the value fetch, so the mapped
+    file is indexed as-is without any reordering copy."""
     shape = tuple(int(s) for s in shape)
     strides = np.concatenate([np.cumprod(shape[::-1])[::-1][1:], [1]]).astype(np.int64)
+    fstrides = np.concatenate([[1], np.cumprod(shape[:-1])]).astype(np.int64)
 
     def host_shard(idx: np.ndarray):
         coords = np.empty((idx.size, len(shape)), np.float32)
+        vidx = idx if order == "C" else np.zeros_like(idx)
         for k in range(len(shape)):
             digit = (idx // strides[k]) % shape[k]
             coords[:, k] = lo + (hi - lo) * digit / max(shape[k] - 1, 1)
-        vals = (np.asarray(flat_values[idx], np.float32) - vmin) * vscale
+            if order == "F":
+                vidx = vidx + digit * fstrides[k]
+        vals = (np.asarray(flat_values[vidx], np.float32) - vmin) * vscale
         return coords, vals.reshape(-1, 1)
 
     return host_shard
+
+
+def flatten_volume_source(volume):
+    """(flat_values, order): a no-copy 1-D view of ``volume`` plus the layout
+    tag for make_host_shard_fn. Fortran-contiguous sources (memmapped NIfTI)
+    are flattened in their native order — a C-order reshape would silently
+    materialize the whole file."""
+    if hasattr(volume, "flags") and volume.ndim > 1 and volume.flags.f_contiguous \
+            and not volume.flags.c_contiguous:
+        return volume.reshape(-1, order="F"), "F"
+    if hasattr(volume, "reshape"):
+        return volume.reshape(-1), "C"
+    return np.asarray(volume).reshape(-1), "C"
 
 
 class Trainer:
@@ -417,9 +439,9 @@ class Trainer:
 
         shard_jit = jax.jit(shard_fn, donate_argnums=(0, 1, 2))
 
-        flat_values = volume.reshape(-1) if hasattr(volume, "reshape") else np.asarray(volume).reshape(-1)
+        flat_values, vorder = flatten_volume_source(volume)
         vmin, vscale = resolve_value_range(flat_values, n, shard, value_range)
-        synth = make_host_shard_fn(shape, lo, hi, flat_values, vmin, vscale)
+        synth = make_host_shard_fn(shape, lo, hi, flat_values, vmin, vscale, vorder)
 
         def host_shard(idx: np.ndarray):
             coords, vals = synth(idx)

@@ -116,3 +116,64 @@ class TestScaleSemantics:
 
         img = NiftiImage(dataobj=np.arange(4, dtype=np.int16), scl_slope=1.0, scl_inter=2.0)
         np.testing.assert_array_equal(img.get_fdata(), np.arange(4) + 2.0)
+
+
+class TestMemmap:
+    def test_load_memmap_matches_load(self, tmp_path):
+        from mri_interpolation_tpu.io import nifti
+        from mri_interpolation_tpu.io.volume import synthetic_volume
+
+        vol = synthetic_volume((9, 7, 5), seed=2)
+        path = str(tmp_path / "v.nii")
+        nifti.save(vol, path)
+        mm = nifti.load_memmap(path)
+        assert isinstance(mm.dataobj, np.memmap)
+        assert mm.shape == (9, 7, 5)
+        np.testing.assert_array_equal(np.asarray(mm.dataobj),
+                                      nifti.load(path).dataobj)
+
+    def test_load_memmap_rejects_gzip(self, tmp_path):
+        from mri_interpolation_tpu.io import nifti
+        from mri_interpolation_tpu.io.volume import synthetic_volume
+
+        path = str(tmp_path / "v.nii.gz")
+        nifti.save(synthetic_volume((4, 4, 4), seed=0), path)
+        with pytest.raises(ValueError, match="memory-mapped"):
+            nifti.load_memmap(path)
+
+    def test_fortran_host_shard_value_parity(self, tmp_path):
+        """The F-order index re-folding must fetch the same voxels as the
+        C-order path on the equivalent in-memory array."""
+        from mri_interpolation_tpu.io import nifti
+        from mri_interpolation_tpu.io.volume import synthetic_volume
+        from mri_interpolation_tpu.train.trainer import (
+            flatten_volume_source, make_host_shard_fn)
+
+        vol = synthetic_volume((6, 5, 4), seed=3)
+        path = str(tmp_path / "v.nii")
+        nifti.save(vol, path)
+        mm = nifti.load_memmap(path).dataobj
+
+        fc, oc = flatten_volume_source(vol)
+        ff, of = flatten_volume_source(mm)
+        assert (oc, of) == ("C", "F")
+        idx = np.random.default_rng(0).permutation(vol.size)[:50]
+        c_coords, c_vals = make_host_shard_fn(vol.shape, 0.0, 1.0, fc, 0.0, 1.0, oc)(idx)
+        f_coords, f_vals = make_host_shard_fn(vol.shape, 0.0, 1.0, ff, 0.0, 1.0, of)(idx)
+        np.testing.assert_array_equal(c_vals, f_vals)
+        np.testing.assert_array_equal(c_coords, f_coords)
+
+    def test_streaming_fit_from_memmapped_nifti(self, tmp_path):
+        from mri_interpolation_tpu.io import nifti
+        from mri_interpolation_tpu.io.volume import synthetic_volume
+        from mri_interpolation_tpu.models import make_siren
+        from mri_interpolation_tpu.train import TrainConfig, Trainer
+
+        vol = synthetic_volume((10, 10, 6), seed=1)
+        path = str(tmp_path / "v.nii")
+        nifti.save(vol, path)
+        mm = nifti.load_memmap(path)
+        cfg = TrainConfig(batch_size=150, epochs=2, lr=1e-3, seed=0)
+        r = Trainer(cfg).fit_streaming(make_siren(dim_in=3, dim_hidden=8, n_layers=2),
+                                       mm.dataobj, shard_voxels=300)
+        assert np.isfinite(r.losses).all() and r.losses[-1] < r.losses[0]
