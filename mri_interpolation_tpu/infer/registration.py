@@ -374,6 +374,7 @@ def group_synthesize_at(
     t_knots: Sequence[float],
     t_eval: Sequence[float],
     ctrl: jnp.ndarray | None = None,
+    appearance: str = "linear",
     **kwargs,
 ) -> np.ndarray:
     """Synthesize frames at ARBITRARY times from the group registration.
@@ -388,6 +389,15 @@ def group_synthesize_at(
     position in canonical space and cross-faded:
 
         F̂_t(y) = (1-s) F_k(y - d_t(y) + d_k(y)) + s F_{k+1}(y - d_t(y) + d_{k+1}(y))
+
+    ``appearance="cubic"`` replaces that linear cross-fade with a cubic
+    Hermite over FOUR motion-compensated neighbors — each of frames
+    k-1..k+2 warped to the canonical position at t, then interpolated in
+    INTENSITY with the same non-uniform spline used for the motion. Motion
+    compensation and intensity-curvature capture (the ``cubic`` data-space
+    family's strength) compose instead of competing: along the compensated
+    trajectory a voxel's brightness varies smoothly even under motion, so
+    the spline fits what the cross-fade blurs.
 
     ``frames``: (spatial..., T_kept); returns (spatial..., len(t_eval)).
     """
@@ -420,7 +430,24 @@ def group_synthesize_at(
         dmid = h00 * d1 + h10 * m1 + h01 * d2 + h11 * m2
         fa = _sample(jnp.asarray(frames[..., j]), grid - dmid + d1)
         fb = _sample(jnp.asarray(frames[..., j + 1]), grid - dmid + d2)
-        out.append(np.asarray((1.0 - s) * fa + s * fb))
+        if appearance == "cubic":
+            # intensity tangents from the outer motion-compensated neighbors
+            # (one-sided at the sequence ends, like the motion tangents)
+            if j > 0:
+                f0 = _sample(jnp.asarray(frames[..., j - 1]),
+                             grid - dmid + fields[j - 1])
+                im1 = (fb - f0) * (h / (t2 - t_knots[j - 1]))
+            else:
+                im1 = fb - fa
+            if j + 2 < T:
+                f3 = _sample(jnp.asarray(frames[..., j + 2]),
+                             grid - dmid + fields[j + 2])
+                im2 = (f3 - fa) * (h / (t_knots[j + 2] - t1))
+            else:
+                im2 = fb - fa
+            out.append(np.asarray(h00 * fa + h10 * im1 + h01 * fb + h11 * im2))
+        else:
+            out.append(np.asarray((1.0 - s) * fa + s * fb))
     return np.stack(out, axis=-1)
 
 

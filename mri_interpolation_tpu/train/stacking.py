@@ -196,6 +196,7 @@ def default_interp_families(
                                      warp_w0=5.0, warp_accel=1.0, **base),
         "registration": _registration_family(),
         "registration_group": _registration_group_family(),
+        "registration_cubic": _registration_group_family(appearance="cubic"),
         "cubic": _cubic_family(),
         "linear": _linear_family(),
     }

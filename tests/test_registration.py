@@ -158,3 +158,25 @@ def test_registration_interp_eval_protocol():
     assert recon.shape == img.shape
     assert set(q) == {"full", "odd"}
     assert np.isfinite(q["odd"]["psnr"]) and q["odd"]["psnr"] > 10.0
+
+
+def test_group_synthesize_cubic_appearance_beats_crossfade_on_curvature():
+    """Static scene, quadratic intensity in time: the motion fields are ~0,
+    so appearance='cubic' must reproduce interior midpoints (the spline is
+    exact on quadratics) while the linear cross-fade cannot."""
+    from mri_interpolation_tpu.infer.registration import group_synthesize_at
+
+    rng = np.random.default_rng(0)
+    a = rng.random((12, 12), dtype=np.float32)
+    b = rng.random((12, 12), dtype=np.float32) * 0.5
+    t_knots = np.linspace(0.0, 1.0, 6)
+    frames = np.stack([a + b * (t - 0.4) ** 2 for t in t_knots], axis=-1)
+    t_eval = (t_knots[1:-2] + t_knots[2:-1]) / 2  # interior midpoints
+    truth = np.stack([a + b * (t - 0.4) ** 2 for t in t_eval], axis=-1)
+
+    common = dict(ctrl_sizes=(4,), pyramid=(1,), steps=30, smooth_t=1e3)
+    lin = group_synthesize_at(frames, t_knots, t_eval, **common)
+    cub = group_synthesize_at(frames, t_knots, t_eval, appearance="cubic", **common)
+    mse_lin = float(np.mean((lin - truth) ** 2))
+    mse_cub = float(np.mean((cub - truth) ** 2))
+    assert mse_cub < 0.25 * mse_lin, (mse_cub, mse_lin)
