@@ -134,6 +134,18 @@ class TestShardedFit:
         assert sh.losses.shape == ref.losses.shape
         np.testing.assert_allclose(sh.losses, ref.losses, rtol=2e-3, atol=1e-6)
 
+    def test_remat_value_parity(self, mesh8):
+        """TrainConfig.remat under the sharded trainer is value-identical."""
+        vol = synthetic_volume((12, 12, 8), seed=3)
+        ds = dataset_from_array(vol)
+        model = self._model()
+        r0 = ShardedHashTrainer(TrainConfig(batch_size=320, epochs=1, lr=2e-3, seed=0),
+                                mesh=mesh8).fit(model, ds.coords, ds.values)
+        r1 = ShardedHashTrainer(TrainConfig(batch_size=320, epochs=1, lr=2e-3, seed=0,
+                                            remat=True),
+                                mesh=mesh8).fit(model, ds.coords, ds.values)
+        np.testing.assert_allclose(r1.losses, r0.losses, rtol=1e-6, atol=0)
+
     def test_temporal_tv_matches_trainer(self, mesh8):
         """The device-local TV decomposition must equal the full-table prior."""
         vol = synthetic_volume((12, 12, 8), seed=7)
