@@ -27,12 +27,61 @@ import numpy as np
 BASELINE_VOXELS_PER_SEC = 154_800.0  # reference GPU anecdote, see docstring
 
 
+def _devices_nonblocking(timeout_s: float = 60.0) -> int:
+    """``len(jax.devices())`` behind a watchdog thread: enumerating the axon
+    TPU tunnel blocks indefinitely when the tunnel is down (same failure mode
+    __graft_entry__._device_count_nonblocking guards against), and the driver
+    must always get its one JSON line. Returns 0 on hang/failure."""
+    import threading
+
+    out: list = []
+
+    def probe():
+        try:
+            import jax
+
+            out.append(len(jax.devices()))
+        except Exception:
+            out.append(0)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return out[0] if out else 0
+
+
+def _cpu_fallback(argv) -> None:
+    """Re-exec the bench in a CPU child with the axon plugin disabled.
+
+    A dead tunnel at bench time must degrade to an honest, clearly-tagged
+    CPU measurement (epochs reduced — the point is a valid record, not a
+    20-minute CPU soak), never a hang. The child env drops
+    PALLAS_AXON_POOL_IPS so sitecustomize skips plugin registration."""
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["_MRI_TPU_BENCH_CPU_FALLBACK"] = "1"
+    repo = os.path.dirname(os.path.abspath(__file__))
+    cmd = [sys.executable, os.path.join(repo, "bench.py"), "--headline-only"]
+    proc = subprocess.run(cmd, cwd=repo, env=env, timeout=3000)
+    sys.exit(proc.returncode)
+
+
 def main(argv=None):
+    import os
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--headline-only", action="store_true",
                     help="skip the NGP and interpolation-protocol side rows "
                          "(roughly halves bench wall time)")
     args = ap.parse_args(argv)
+    is_fallback = os.environ.get("_MRI_TPU_BENCH_CPU_FALLBACK") == "1"
+    if not is_fallback and _devices_nonblocking() == 0:
+        _cpu_fallback(argv)
+        return
     import jax
 
     from mri_interpolation_tpu.utils import setup_compilation_cache
@@ -63,7 +112,8 @@ def main(argv=None):
     )
 
     batch = 10000
-    cfg = TrainConfig(batch_size=batch, epochs=30, lr=5e-3, seed=1337)
+    epochs = 5 if is_fallback else 30
+    cfg = TrainConfig(batch_size=batch, epochs=epochs, lr=5e-3, seed=1337)
     result = Trainer(cfg).fit(model, ds.coords, ds.values)
     steps_per_sec = result.steady_steps_per_sec
     voxels_per_sec = steps_per_sec * batch
@@ -119,6 +169,12 @@ def main(argv=None):
         "steady_train_wall_s": round(steady_wall, 2),
         "device": str(jax.devices()[0]),
     }
+    if is_fallback:
+        # honest degradation: the TPU tunnel did not answer the watchdog, so
+        # these are CPU numbers at a reduced epoch budget — comparable to
+        # nothing, but a valid record instead of a hang.
+        record["tpu_tunnel_unreachable"] = True
+        record["epochs"] = epochs
 
     if not args.headline_only:
         # secondary row: the TPU-native Instant-NGP-class quality config
