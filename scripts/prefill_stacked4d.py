@@ -20,6 +20,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 os.chdir(REPO)
 sys.path.insert(0, REPO)
 
+# sitecustomize pre-imports jax with the tunnel platform pinned; env vars are
+# too late here — pin the platform the way tests/conftest.py does.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 
 from mri_interpolation_tpu.io import load_volume  # noqa: E402

@@ -203,3 +203,72 @@ def test_stacked_interp_eval_4d_include_subset():
     np.testing.assert_allclose(recon[..., ::2], img[..., ::2], atol=0)
     assert set(q["weights"]["global"]) == {"warp", "cubic", "linear"}
     assert np.isfinite(q["odd"]["psnr"])
+
+def test_fusion_uncertainty_zero_on_agreement_and_weighted():
+    from mri_interpolation_tpu.train.stacking import fusion_uncertainty
+
+    rng = np.random.default_rng(7)
+    base = rng.random((5, 5, 3), dtype=np.float32)
+    # identical families -> zero disagreement everywhere
+    preds = np.stack([base, base])
+    w = np.full((3, 2), 0.5)
+    sigma = fusion_uncertainty(preds, w)
+    np.testing.assert_allclose(sigma, 0.0, atol=1e-7)
+    # two families offset by +/- d with equal weight -> sigma == d
+    d = 0.25
+    preds = np.stack([base + d, base - d])
+    sigma = fusion_uncertainty(preds, w)
+    np.testing.assert_allclose(sigma, d, atol=1e-5)
+    # weight w on one family: std of a 2-point distribution at distance 2d is
+    # 2d*sqrt(w(1-w)), with w floored toward uniform by eps
+    w2 = np.stack([np.full(3, 0.9), np.full(3, 0.1)], axis=-1)
+    w_eff = 0.9 * 0.9 + 0.1 * 0.5
+    sigma = fusion_uncertainty(preds, w2, eps=0.1)
+    np.testing.assert_allclose(sigma, 2 * d * np.sqrt(w_eff * (1 - w_eff)), atol=1e-5)
+    # one-hot weights (the LOO solver's common output) must NOT silence the
+    # disagreement signal — the eps floor keeps sigma > 0
+    w1h = np.stack([np.ones(3), np.zeros(3)], axis=-1)
+    assert float(fusion_uncertainty(preds, w1h).min()) > 0.0
+
+
+def test_uncertainty_calibration_detects_informative_sigma():
+    from mri_interpolation_tpu.train.stacking import uncertainty_calibration
+
+    rng = np.random.default_rng(8)
+    sigma = rng.random(4000)
+    err = sigma * rng.normal(size=4000)       # |err| scales with sigma
+    cal = uncertainty_calibration(sigma, err)
+    assert cal["pearson_r"] > 0.4
+    assert cal["spearman_rho"] > 0.4
+    rc = cal["risk_coverage"]
+    assert rc["rmse"][0] < rc["rmse"][-1]     # low-sigma subset has lower risk
+    assert len(rc["coverage"]) == len(rc["rmse"]) == 10
+    # uninformative sigma: correlations near zero, flat-ish risk curve
+    cal0 = uncertainty_calibration(rng.random(4000), err)
+    assert abs(cal0["pearson_r"]) < 0.1
+
+
+def test_stacked_interp_eval_reports_uncertainty():
+    img = _moving_sequence(t_full=7, shape=(24, 24))
+    fams = {"cubic": _cubic_family(), "linear": _linear_family()}
+    _, q = stacked_interp_eval(img, TrainConfig(epochs=1), families=fams)
+    unc = q["uncertainty"]
+    assert unc["sigma_mean"] >= 0.0
+    assert unc["sigma_p95"] >= unc["sigma_mean"] >= 0.0
+    assert "pearson_r" in unc["calibration"]
+    assert "_components" not in q["weights"]  # private channel must not leak
+
+
+def test_stacked_temporal_upsample_uncertainty_surface():
+    from mri_interpolation_tpu.train.stacking import stacked_temporal_upsample
+
+    img = _moving_sequence(t_full=9, shape=(24, 24))
+    even = img[..., ::2]
+    fams = {"cubic": _cubic_family(), "linear": _linear_family()}
+    out, weights, sigma = stacked_temporal_upsample(
+        even, t_factor=2, config=TrainConfig(epochs=1), families=fams,
+        return_uncertainty=True)
+    assert sigma.shape == out.shape
+    np.testing.assert_allclose(sigma[..., ::2], 0.0, atol=0)   # observed frames
+    assert float(sigma[..., 1::2].max()) > 0.0                 # synthesized ones
+    assert "_components" not in weights
