@@ -69,6 +69,11 @@ def main():
     recon, sq = stacked_interp_eval(vol, cfg, families=fams)
     print(f"stacked   held-out odd-frame PSNR: {sq['odd']['psnr']:.2f} dB "
           f"(weights {sq['weights']['global']})")
+    # the fusion's confidence map (family disagreement; no ground truth
+    # used) ranks the true error — see RESULTS.md for the real-data numbers
+    cal = sq["uncertainty"]["calibration"]
+    print(f"confidence map calibration: Spearman rho {cal['spearman_rho']:.3f} "
+          f"(sigma_mean {sq['uncertainty']['sigma_mean']:.4f})")
 
 
 if __name__ == "__main__":

@@ -127,6 +127,21 @@ def load(path: str) -> NiftiImage:
     return from_bytes(raw)
 
 
+def peek_shape(path: str) -> tuple:
+    """Volume shape from the header alone — no voxel IO. For gzipped files
+    only the first deflate blocks are decompressed (the header is at the
+    front), so peeking a multi-GB archive is O(KB). Used by the capacity
+    planner (`--plan`), which must not pay a full load to size a run."""
+    with open(path, "rb") as f:
+        head = f.read(_HDR_SIZE + 4)
+        if head[:2] == b"\x1f\x8b":
+            f.seek(0)
+            with gzip.GzipFile(fileobj=f) as g:
+                head = g.read(_HDR_SIZE + 4)
+    shape, *_ = _parse_header(head)
+    return tuple(int(s) for s in shape)
+
+
 def load_memmap(path: str) -> NiftiImage:
     """Memory-mapped NIfTI: the returned image's ``dataobj`` is a read-only
     ``np.memmap`` (Fortran-ordered, NIfTI's on-disk layout) — voxels are read

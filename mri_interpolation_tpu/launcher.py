@@ -42,6 +42,14 @@ def build_parser() -> argparse.ArgumentParser:
                         help="path to a hydra-style YAML run config (reference config/base.yaml schema)")
     parser.add_argument("--config_preset", type=str, default="hash",
                         choices=["hash", "siren"], help="base config preset")
+    parser.add_argument("--plan", action="store_true",
+                        help="don't run: print the capacity plan (per-level "
+                             "table bytes, step residency, sharding layout, "
+                             "scaling-path recommendations) for this config")
+    parser.add_argument("--plan_devices", type=int, default=1,
+                        help="device count the --plan sharding layout assumes")
+    parser.add_argument("--plan_hbm_gb", type=float, default=16.0,
+                        help="per-chip HBM budget --plan checks against (v5e: 16)")
     configs.add_config_flags(parser, RunConfig())
     return parser
 
@@ -314,8 +322,46 @@ def main(argv=None):
     if args.enco_config_path:
         cfg = configs.apply_enco_config(cfg, configs.load_json_config(args.enco_config_path))
     cfg = configs.override_from_args(cfg, args)
+    if args.plan:
+        print(json.dumps(plan_from_config(cfg, n_devices=args.plan_devices,
+                                          hbm_bytes=args.plan_hbm_gb * 1e9),
+                         indent=2))
+        return
     summary = run(cfg)
     print(json.dumps(summary, indent=2))
+
+
+def plan_from_config(cfg: RunConfig, n_devices: int = 1,
+                     hbm_bytes: float = 16e9) -> dict:
+    """Capacity plan for a launcher config (plan.py over RunConfig fields;
+    volume shape peeked from the NIfTI header — no voxel IO, no devices)."""
+    from .io import nifti
+    from .plan import plan_run
+
+    vol_shape = None
+    if cfg.image_path and os.path.exists(cfg.image_path):
+        vol_shape = nifti.peek_shape(cfg.image_path)
+    dim_in = cfg.dim_in or (len(vol_shape) if vol_shape else 3)
+    # same rank-adaptation run() applies when the configured resolution
+    # tuples don't match the volume rank
+    base_res, finest_res = cfg.base_resolution, cfg.finest_resolution
+    if (vol_shape and isinstance(base_res, (tuple, list))
+            and len(base_res) != dim_in):
+        finest_res = tuple(int(s) for s in vol_shape)
+        base_res = tuple(max(2, round(s / 5.5)) for s in vol_shape)
+    return plan_run(
+        dim_in=dim_in, n_levels=cfg.n_levels,
+        n_features_per_level=cfg.n_features_per_level,
+        log2_hashmap_size=cfg.log2_hashmap_size,
+        base_resolution=base_res,
+        finest_resolution=finest_res,
+        per_level_scale=cfg.per_level_scale, growth=cfg.growth,
+        dim_hidden=cfg.dim_hidden, n_layers=cfg.n_layers,
+        dim_out=cfg.dim_out, decoder=cfg.decoder,
+        batch_size=cfg.batch_size, volume_shape=vol_shape,
+        n_devices=n_devices, optimizer=cfg.optimizer, remat=cfg.remat,
+        hbm_bytes=hbm_bytes,
+    )
 
 
 if __name__ == "__main__":

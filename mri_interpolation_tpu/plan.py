@@ -1,0 +1,227 @@
+"""Capacity planner: where will this config's memory go, and which scaling
+path does it need? (No allocation — everything is computed from the encoder
+metadata `HashGridEncoding` derives statically.)
+
+The README's scaling matrix names a path per constraint (streaming when the
+dataset outgrows HBM, `--shard_tables` when the TABLE does, `--remat` when
+activations do, bf16 export for serving artifacts). This module turns that
+prose into a tool: feed it the same flags the launcher takes and it prints
+per-level table sizes, training-step residency, the sharding layout
+`plan_table_sharding` would choose, and a recommendation per constraint.
+
+    python -m mri_interpolation_tpu.plan --n_levels 3 \
+        --n_features_per_level 8 --log2_hashmap_size 23 \
+        --base_resolution 64,64,2 --finest_resolution 352,352,90 \
+        --volume_shape 352,352,6,15 --batch_size 50000 --n_devices 8
+
+All numbers are ESTIMATES of steady-state residency (params, optimizer
+state, dataset, per-step activations); XLA's transient buffers and fusion
+decisions add real but config-dependent slack on top.
+
+Reference counterpart: none — the reference sizes tables implicitly inside
+tinycudann (encoding.py:176,319-321) and leaves the user to discover OOMs
+at runtime.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from typing import Optional, Sequence, Union
+
+import numpy as np
+
+from .encodings.hashgrid import HashGridEncoding
+
+__all__ = ["plan_run", "main"]
+
+_DTYPE_BYTES = {"float32": 4, "bfloat16": 2, "float16": 2}
+
+
+def _decoder_param_count(enc_out: int, dim_hidden: int, n_layers: int,
+                         dim_out: int, decoder: str) -> int:
+    widths = [enc_out] + [dim_hidden] * (n_layers - 1) + [dim_out]
+    n = sum((widths[i] + 1) * widths[i + 1] for i in range(n_layers))
+    if decoder == "norm":
+        n += 2 * sum(widths[1:])            # scale+bias on every block
+    elif decoder == "norm_proper":
+        n += 2 * sum(widths[1:-1])          # hidden blocks only
+    return n
+
+
+def plan_run(
+    dim_in: int,
+    n_levels: int = 4,
+    n_features_per_level: int = 1,
+    log2_hashmap_size: int = 23,
+    base_resolution: Union[int, Sequence[int]] = (64, 64, 5),
+    finest_resolution: Union[int, Sequence[int], None] = (352, 352, 15),
+    per_level_scale: Optional[float] = None,
+    growth: str = "reference",
+    storage: str = "auto",
+    dim_hidden: int = 64,
+    n_layers: int = 2,
+    dim_out: int = 1,
+    decoder: str = "norm",
+    batch_size: int = 10000,
+    volume_shape: Optional[Sequence[int]] = None,
+    n_devices: int = 1,
+    optimizer: str = "adam",
+    remat: bool = False,
+    hbm_bytes: float = 16e9,
+    table_dtype: str = "float32",
+) -> dict:
+    """Estimate the memory layout of a HashMLP run and pick scaling paths.
+
+    Returns a dict with ``levels`` (per-level rows/bytes/storage),
+    ``bytes`` (table, decoder, optimizer, dataset, activations, step totals),
+    ``sharding`` (per-device table bytes under ``plan_table_sharding`` when
+    ``n_devices > 1``), ``serving`` (artifact sizes), and
+    ``recommendations`` (constraint -> launcher flag)."""
+    enc = HashGridEncoding(
+        dim=dim_in, n_levels=n_levels,
+        n_features_per_level=n_features_per_level,
+        log2_hashmap_size=log2_hashmap_size,
+        base_resolution=base_resolution, finest_resolution=finest_resolution,
+        per_level_scale=per_level_scale, growth=growth, storage=storage,
+    )
+    F = n_features_per_level
+    tb = _DTYPE_BYTES[table_dtype]
+    levels = []
+    for l in range(n_levels):
+        rows = int(enc.level_sizes[l])
+        levels.append({
+            "level": l,
+            "resolution": [int(r) for r in enc.level_resolutions[l]],
+            "storage": "dense" if bool(enc.level_dense[l]) else "hashed",
+            "rows": rows,
+            "bytes": rows * F * 4,
+        })
+    table_bytes = enc.total_size * F * 4
+    dec_params = _decoder_param_count(enc.output_dim, dim_hidden, n_layers,
+                                      dim_out, decoder)
+    params_bytes = table_bytes + dec_params * 4
+    opt_mult = 2 if optimizer.startswith("adam") else 0
+    opt_bytes = opt_mult * params_bytes
+    grad_bytes = params_bytes                 # transient, but peak-relevant
+
+    # Per-step activations (forward residency the backward keeps alive):
+    # packed-gather path per (voxel, level, corner): int32 ids + F f32
+    # features + interp weights; decoder: every hidden width once. remat
+    # drops the decoder/encoder intermediates to ~the largest single layer.
+    corners = 2 ** dim_in
+    enc_act = batch_size * n_levels * corners * (4 + F * 4 + 4)
+    widths = [enc.output_dim] + [dim_hidden] * (n_layers - 1) + [dim_out]
+    dec_act = batch_size * sum(widths) * 4
+    act_bytes = (max(enc_act, dec_act) if remat else enc_act + dec_act)
+
+    dataset_bytes = None
+    if volume_shape is not None:
+        n_vox = int(np.prod(volume_shape))
+        # device-resident (coords f32 dim_in+, values f32): the default
+        # Trainer layout (io/volume.py dataset_from_array)
+        dataset_bytes = n_vox * (len(volume_shape) + 1) * 4
+
+    step_bytes = params_bytes + opt_bytes + grad_bytes + act_bytes
+    total_bytes = step_bytes + (dataset_bytes or 0)
+
+    sharding = None
+    if n_devices > 1:
+        from .parallel.sharded_table import plan_table_sharding
+
+        plan = plan_table_sharding(enc, n_devices)
+        per_dev_rows = [int(sum(ln for (_, _, ln) in slot)) for slot in plan.slots]
+        sharding = {
+            "n_devices": n_devices,
+            "per_device_table_bytes": [r * F * 4 for r in per_dev_rows],
+            "max_device_table_bytes": max(per_dev_rows) * F * 4,
+            "split_levels": sorted({l for slot in plan.slots for (l, s, ln) in slot
+                                    if ln > 0 and ln < int(enc.level_sizes[l])}),
+        }
+
+    serving = {
+        "artifact_f32_bytes": params_bytes,
+        "artifact_bf16_table_bytes": enc.total_size * F * tb
+        if table_dtype != "float32" else enc.total_size * F * 2 + dec_params * 4,
+    }
+
+    recommendations = []
+    if total_bytes > hbm_bytes and dataset_bytes and dataset_bytes > 0.25 * hbm_bytes:
+        shard = int(batch_size * max(4, n_devices))
+        recommendations.append({
+            "constraint": f"dataset residency {dataset_bytes/1e9:.2f} GB",
+            "path": f"--stream_shard_voxels {shard} (out-of-core shard rotation; "
+                    "io.nifti.load_memmap if host RAM is also short)"})
+    table_budget = hbm_bytes - act_bytes - (dataset_bytes or 0)
+    if (1 + opt_mult + 1) * params_bytes > table_budget:
+        recommendations.append({
+            "constraint": f"table+optimizer {((1+opt_mult+1)*params_bytes)/1e9:.2f} GB",
+            "path": "--shard_tables (dense levels row-range-split; "
+                    "see 'sharding' for the per-device bytes)"})
+    if act_bytes > 0.25 * hbm_bytes and not remat:
+        recommendations.append({
+            "constraint": f"activations {act_bytes/1e9:.2f} GB/step",
+            "path": "--remat (recompute forward in backward) or smaller --batch_size"})
+    if not recommendations:
+        recommendations.append({"constraint": "none",
+                                "path": "fits a single chip as configured"})
+
+    return {
+        "levels": levels,
+        "bytes": {
+            "table": table_bytes,
+            "decoder_params": dec_params * 4,
+            "optimizer_state": opt_bytes,
+            "gradients": grad_bytes,
+            "activations_per_step": act_bytes,
+            "dataset": dataset_bytes,
+            "step_total": step_bytes,
+            "total": total_bytes,
+            "hbm_budget": hbm_bytes,
+        },
+        "sharding": sharding,
+        "serving": serving,
+        "recommendations": recommendations,
+    }
+
+
+def _tuple_arg(s: str):
+    s = s.strip()
+    if not s:
+        return None
+    parts = [p for p in s.replace("(", "").replace(")", "").split(",") if p.strip()]
+    vals = tuple(int(p) for p in parts)
+    return vals[0] if len(vals) == 1 else vals
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--dim_in", type=int, default=3)
+    ap.add_argument("--n_levels", type=int, default=4)
+    ap.add_argument("--n_features_per_level", type=int, default=1)
+    ap.add_argument("--log2_hashmap_size", type=int, default=23)
+    ap.add_argument("--base_resolution", type=_tuple_arg, default=(64, 64, 5))
+    ap.add_argument("--finest_resolution", type=_tuple_arg, default=(352, 352, 15))
+    ap.add_argument("--per_level_scale", type=float, default=None)
+    ap.add_argument("--growth", default="reference")
+    ap.add_argument("--storage", default="auto")
+    ap.add_argument("--dim_hidden", type=int, default=64)
+    ap.add_argument("--n_layers", type=int, default=2)
+    ap.add_argument("--dim_out", type=int, default=1)
+    ap.add_argument("--decoder", default="norm")
+    ap.add_argument("--batch_size", type=int, default=10000)
+    ap.add_argument("--volume_shape", type=_tuple_arg, default=None)
+    ap.add_argument("--n_devices", type=int, default=1)
+    ap.add_argument("--optimizer", default="adam")
+    ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--hbm_gb", type=float, default=16.0,
+                    help="per-chip HBM budget (v5e: 16)")
+    args = ap.parse_args(argv)
+    kw = vars(args).copy()
+    kw["hbm_bytes"] = kw.pop("hbm_gb") * 1e9
+    out = plan_run(**kw)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()
