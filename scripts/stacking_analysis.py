@@ -258,6 +258,56 @@ def run_gated(img, names, folds, deploy, t_odd, odd_img):
         print(json.dumps(rec), flush=True)
 
 
+def run_uncertainty(names, folds, deploy, t_odd, odd_img,
+                    out_png="runs/figures/uncertainty_panel.png"):
+    """Calibration of the fusion's confidence map against the true held-out
+    error, for the shipped solver's weights and for the ablation variants
+    (pure-weighted eps=0, uniform). Renders a panel artifact: fused frame,
+    sigma map, |error| map side by side for the middle odd frame."""
+    from mri_interpolation_tpu.train.stacking import (
+        fusion_uncertainty, uncertainty_calibration)
+
+    w_new, w_global = solve_weights(folds, names, t_odd, lam=0.0, shrink=0.5)
+    fused = np.einsum("f...t,tf->...t", deploy, w_new)
+    err = fused - odd_img
+    report = {}
+    for label, sigma in [
+        ("shipped (eps=0.1)", fusion_uncertainty(deploy, w_new)),
+        ("pure-weighted (eps=0)", fusion_uncertainty(deploy, w_new, eps=0.0)),
+        ("uniform", fusion_uncertainty(
+            deploy, np.full_like(w_new, 1.0 / len(names)))),
+    ]:
+        cal = uncertainty_calibration(sigma, err)
+        rc = cal["risk_coverage"]["rmse"]
+        report[label] = {"pearson_r": round(cal["pearson_r"], 3),
+                         "spearman_rho": round(cal["spearman_rho"], 3),
+                         "rmse_keep50_over_full": round(rc[4] / rc[-1], 4)}
+        print(json.dumps({label: report[label]}), flush=True)
+
+    sigma = fusion_uncertainty(deploy, w_new)
+    t_mid = fused.shape[-1] // 2
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 3, figsize=(12, 4.2))
+    for ax, (panel, title, cmap) in zip(axes, [
+        (fused[..., t_mid], f"fused held-out frame {t_mid}", "gray"),
+        (sigma[..., t_mid], "confidence map sigma (no ground truth)", "magma"),
+        (np.abs(err[..., t_mid]), "|true error|", "magma"),
+    ]):
+        im = ax.imshow(panel.T, origin="lower", cmap=cmap)
+        ax.set_title(title, fontsize=10)
+        ax.axis("off")
+        fig.colorbar(im, ax=ax, fraction=0.046)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(out_png), exist_ok=True)
+    fig.savefig(out_png, dpi=110)
+    print(json.dumps({"panel": out_png}))
+    return report
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cache_dir", default="runs/stacked_cache_ep100")
@@ -266,6 +316,9 @@ def main():
     ap.add_argument("--gated", action="store_true",
                     help="motion-gated per-bin weights instead of the "
                          "(lam, shrink) sweep")
+    ap.add_argument("--uncertainty", action="store_true",
+                    help="calibrate the confidence map variants against the "
+                         "true held-out error + render the panel artifact")
     args = ap.parse_args()
 
     ds = load_volume(SAMPLE, slice_axes=SLICE)
@@ -276,6 +329,9 @@ def main():
 
     if args.gated:
         run_gated(img, names, folds, deploy, t_odd, odd_img)
+        return
+    if args.uncertainty:
+        run_uncertainty(names, folds, deploy, t_odd, odd_img)
         return
 
     lams = [float(x) for x in args.lams.split(",")]
