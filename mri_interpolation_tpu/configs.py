@@ -91,6 +91,7 @@ class RunConfig:
     decoder: str = "norm"                # "norm" | "norm_proper" | "relu_plain"
     growth: str = "reference"            # "reference" | "paper" growth formula
     temporal_tv: float = 0.0             # time-axis table smoothness prior
+    level_anneal_steps: int = 0          # >0: coarse-to-fine hash-level curriculum
 
     # --- inference / output (L0/L6)
     interp_shapes: Tuple[Tuple[int, ...], ...] = ((352, 352, 30),)  # (config/base.py:62)
@@ -131,6 +132,7 @@ class RunConfig:
             "decoder": self.decoder,
             "growth": self.growth,
             "temporal_tv": self.temporal_tv,
+            "level_anneal_steps": self.level_anneal_steps,
             "warp_scale": self.warp_scale,
             "warp_w0": self.warp_w0,
             "warp_hidden": self.warp_hidden,

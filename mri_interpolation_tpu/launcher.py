@@ -205,6 +205,10 @@ def run(cfg: RunConfig, run_dir: Optional[str] = None) -> dict:
         # decoder semantics; requires a make_hash_mlp-family model.
         if cfg.stream_shard_voxels > 0:
             raise ValueError("--stream_shard_voxels does not compose with --shard_tables")
+        if cfg.level_anneal_steps > 0:
+            # the sharded trainer substitutes its distributed encode for the
+            # model's apply, which is where the anneal weighting lives
+            raise ValueError("--level_anneal_steps does not compose with --shard_tables")
         from .parallel import ShardedHashTrainer
 
         result = ShardedHashTrainer(tc).fit(model, train_coords, train_values, params=params, state=state)

@@ -50,6 +50,7 @@ def make_hash_mlp(
     cell_view_max_cells: int = 1 << 18,
     fused: str = "auto",  # "auto" | "on" | "off" | "interpret": Pallas kernels
     temporal_tv: float = 0.0,  # weight of the time-axis table smoothness prior
+    level_anneal_steps: int = 0,  # >0: coarse-to-fine level curriculum
 ) -> Model:
     """``decoder``:
 
@@ -66,7 +67,16 @@ def make_hash_mlp(
     runs as the fused Pallas hash-encode kernel when its table fits VMEM, and
     a ``decoder="relu_plain"`` stack runs as the fused MLP kernel (the tcnn
     Encoding+FullyFusedMLP pair, reference models.py:615-639). The XLA paths
-    remain bit-equivalent fallbacks (tests/test_pallas.py)."""
+    remain bit-equivalent fallbacks (tests/test_pallas.py).
+
+    ``level_anneal_steps``: coarse-to-fine curriculum (BARF/Nerfies-style
+    frequency annealing mapped onto grid levels — no reference counterpart):
+    level ``l``'s features are scaled by ``clip(alpha*L - l + 1, 0, 1)`` with
+    ``alpha = train_step / level_anneal_steps`` ramping 0 -> 1, so coarse
+    levels organize the fit before fine levels (and their hash collisions)
+    join. The step counter lives in ``state`` (like BN statistics) and only
+    advances on ``train=True`` applies; after the ramp the model is exactly
+    the unannealed one."""
     from ..ops.pallas import fused_mlp_apply, pallas_hash_encode, resolve_fused, table_fits_vmem
 
     if decoder not in ("norm", "norm_proper", "relu_plain"):
@@ -110,6 +120,8 @@ def make_hash_mlp(
         if norm:
             params["bn"] = bn_params
             state = {"bn": bn_state}
+        if level_anneal_steps > 0:
+            state = {**state, "anneal_step": jnp.zeros((), jnp.int32)}
         return params, state
 
     def decode(params, state, z, train=False, rng=None):
@@ -147,7 +159,20 @@ def make_hash_mlp(
     prepare_encode = None if fuse_encoder else (lambda params: encoder.prepare(params["encoder"]))
 
     def apply(params, state, x, train=False, rng=None):
-        return decode(params, state, encode(params, x), train=train, rng=rng)
+        z = encode(params, x)
+        if level_anneal_steps > 0:
+            step = state["anneal_step"]
+            alpha = jnp.clip(step.astype(jnp.float32) / level_anneal_steps, 0.0, 1.0)
+            lw = jnp.clip(alpha * n_levels - jnp.arange(n_levels, dtype=jnp.float32)
+                          + 1.0, 0.0, 1.0)
+            shape = z.shape
+            z = (z.reshape(shape[:-1] + (n_levels, n_features_per_level))
+                 * lw[:, None]).reshape(shape)
+            y, new_state = decode(params, state, z, train=train, rng=rng)
+            new_state = dict(new_state)
+            new_state["anneal_step"] = step + (1 if train else 0)
+            return y, new_state
+        return decode(params, state, z, train=train, rng=rng)
 
     loss_fn = None
     if temporal_tv > 0.0:

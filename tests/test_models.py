@@ -491,3 +491,75 @@ class TestEnsembledWarpProtocol:
             seeds=(0, 1), linear_blend=0.2)
         assert len(q["per_seed_odd_psnr"]) == 2
         assert np.isfinite(q["odd"]["psnr"])
+
+
+def test_level_anneal_curriculum():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mri_interpolation_tpu.models import make_hash_mlp
+
+    kw = dict(dim_in=3, n_levels=3, n_features_per_level=2,
+              log2_hashmap_size=8, base_resolution=(4, 4, 2),
+              finest_resolution=(16, 16, 8), dim_hidden=16, n_layers=2,
+              decoder="relu_plain")
+    plain = make_hash_mlp(**kw)
+    annealed = make_hash_mlp(**kw, level_anneal_steps=4)
+    params, state = annealed.init(jax.random.key(0))
+    assert int(state["anneal_step"]) == 0
+    x = jnp.asarray(np.random.default_rng(0).random((32, 3), np.float32))
+
+    # step 0: only level 0 contributes (alpha=0 -> weights [1,0,0]); the
+    # output must differ from the full model on the same params
+    y0, s1 = annealed.apply(params, state, x, train=True, rng=None)
+    y_full, _ = plain.apply({k: v for k, v in params.items()}, {}, x,
+                            train=False, rng=None)
+    assert int(s1["anneal_step"]) == 1
+    assert not np.allclose(np.asarray(y0), np.asarray(y_full))
+
+    # eval applies do NOT advance the counter
+    _, s_eval = annealed.apply(params, s1, x, train=False, rng=None)
+    assert int(s_eval["anneal_step"]) == 1
+
+    # counter past the ramp: bit-identical to the unannealed model
+    s_done = dict(s1)
+    s_done["anneal_step"] = jnp.asarray(4, jnp.int32)
+    y_done, _ = annealed.apply(params, s_done, x, train=False, rng=None)
+    np.testing.assert_allclose(np.asarray(y_done), np.asarray(y_full),
+                               rtol=0, atol=0)
+
+    # intermediate alpha: level weights ramp coarse-to-fine — level-2
+    # features still silent at step 2 of 4 (alpha=0.5 -> w=[1, .5, 0]^T)
+    s_mid = dict(s1)
+    s_mid["anneal_step"] = jnp.asarray(2, jnp.int32)
+    z = annealed.hparams["encode"](params, x)
+    w = np.asarray([1.0, 0.5, 0.0])
+    zw = (np.asarray(z).reshape(32, 3, 2).astype(np.float32)
+          * w[:, None].astype(np.float32)).reshape(32, 6)
+    y_mid, _ = annealed.apply(params, s_mid, x, train=False, rng=None)
+    y_ref, _ = annealed.hparams["decode"](params, {}, jnp.asarray(zw),
+                                          train=False, rng=None)
+    np.testing.assert_allclose(np.asarray(y_mid), np.asarray(y_ref), atol=1e-4)
+
+
+def test_level_anneal_trains_through_trainer():
+    import jax
+    import numpy as np
+
+    from mri_interpolation_tpu.io import dataset_from_array, synthetic_volume
+    from mri_interpolation_tpu.models import make_hash_mlp
+    from mri_interpolation_tpu.train import TrainConfig, Trainer
+
+    ds = dataset_from_array(synthetic_volume((12, 12, 6), seed=0))
+    model = make_hash_mlp(dim_in=3, n_levels=2, n_features_per_level=2,
+                          log2_hashmap_size=8, base_resolution=(4, 4, 2),
+                          finest_resolution=(12, 12, 6), dim_hidden=16,
+                          n_layers=2, decoder="relu_plain",
+                          level_anneal_steps=10)
+    res = Trainer(TrainConfig(batch_size=128, epochs=4, lr=1e-2, seed=0)).fit(
+        model, ds.coords, ds.values)
+    assert np.isfinite(res.losses).all()
+    # the scan threads state: the counter advanced once per train step
+    assert int(res.state["anneal_step"]) == res.steps
+    assert res.losses[-1] < res.losses[0]
