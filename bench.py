@@ -50,7 +50,7 @@ def _devices_nonblocking(timeout_s: float = 60.0) -> int:
     return out[0] if out else 0
 
 
-def _cpu_fallback(argv) -> None:
+def _cpu_fallback() -> None:
     """Re-exec the bench in a CPU child with the axon plugin disabled.
 
     A dead tunnel at bench time must degrade to an honest, clearly-tagged
@@ -80,7 +80,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
     is_fallback = os.environ.get("_MRI_TPU_BENCH_CPU_FALLBACK") == "1"
     if not is_fallback and _devices_nonblocking() == 0:
-        _cpu_fallback(argv)
+        _cpu_fallback()
         return
     import jax
 

@@ -35,8 +35,6 @@ from .encodings.hashgrid import HashGridEncoding
 
 __all__ = ["plan_run", "main"]
 
-_DTYPE_BYTES = {"float32": 4, "bfloat16": 2, "float16": 2}
-
 
 def _decoder_param_count(enc_out: int, dim_hidden: int, n_layers: int,
                          dim_out: int, decoder: str) -> int:
@@ -69,7 +67,6 @@ def plan_run(
     optimizer: str = "adam",
     remat: bool = False,
     hbm_bytes: float = 16e9,
-    table_dtype: str = "float32",
 ) -> dict:
     """Estimate the memory layout of a HashMLP run and pick scaling paths.
 
@@ -86,7 +83,6 @@ def plan_run(
         per_level_scale=per_level_scale, growth=growth, storage=storage,
     )
     F = n_features_per_level
-    tb = _DTYPE_BYTES[table_dtype]
     levels = []
     for l in range(n_levels):
         rows = int(enc.level_sizes[l])
@@ -140,9 +136,10 @@ def plan_run(
         }
 
     serving = {
+        # export_evaluator_bytes artifacts: tables at f32 vs bf16
+        # (infer/export.py), decoder always f32
         "artifact_f32_bytes": params_bytes,
-        "artifact_bf16_table_bytes": enc.total_size * F * tb
-        if table_dtype != "float32" else enc.total_size * F * 2 + dec_params * 4,
+        "artifact_bf16_table_bytes": enc.total_size * F * 2 + dec_params * 4,
     }
 
     recommendations = []

@@ -369,6 +369,9 @@ def stacked_fuse(
         weights = {"global": dict(zip(names, [1.0 / len(names)] * len(names)))}
 
     fused = np.einsum("f...t,tf->...t", deploy, w_new)
+    # private channel for the uncertainty map (fusion_uncertainty needs the
+    # per-family predictions + per-position weights); every public caller
+    # pops it before returning weights to users (tested not to leak)
     weights["_components"] = (deploy, w_new)
     return fused, weights
 
