@@ -383,3 +383,17 @@ class TestStreamingLauncher:
         )
         with pytest.raises(ValueError, match="stream_shard_voxels"):
             run(cfg)
+
+    def test_anneal_rejects_shard_tables(self, tiny_volume_path, tmp_path):
+        # the sharded-table trainer substitutes its distributed encode for
+        # model.apply — where the anneal weighting lives — so the combination
+        # must fail loudly, not silently skip the curriculum
+        cfg = RunConfig(
+            image_path=tiny_volume_path, model_class="hash_mlp", batch_size=100,
+            epochs=1, shard_tables=True, level_anneal_steps=10,
+            n_levels=2, log2_hashmap_size=8, base_resolution=(4, 4, 2),
+            finest_resolution=(8, 8, 4),
+            interp_shapes=(), output_root=str(tmp_path / "runs"),
+        )
+        with pytest.raises(ValueError, match="level_anneal_steps"):
+            run(cfg)
