@@ -81,6 +81,7 @@ def make_warp_inr(
     warp_accel: float = 0.0,         # temporal acceleration penalty weight on d
     residual_accel: float = 0.0,     # temporal acceleration penalty on r(x,t)
     warp_t_scale: float = 1.0,       # <1 compresses the time input -> smoother d in t
+    level_anneal_steps: int = 0,     # >0: coarse-to-fine curriculum on the canonical encoder
     lr: float = 1e-2,
 ) -> Model:
     """``residual_scale``: motion alone cannot express appearance changes
@@ -123,7 +124,10 @@ def make_warp_inr(
         }
         if residual_scale > 0.0:
             params["residual"] = _siren_field_init(k_res, res_dims, warp_w0)
-        return params, {}
+        state = {}
+        if level_anneal_steps > 0:
+            state = {"anneal_step": jnp.zeros((), jnp.int32)}
+        return params, state
 
     r_w0 = residual_w0 if residual_w0 > 0.0 else warp_w0
     t_scale = jnp.ones((dim_in,)).at[dim_in - 1].set(warp_t_scale)
@@ -142,6 +146,19 @@ def make_warp_inr(
         d = warp_field(params, x)
         xw = jnp.clip(xs + d, 0.0, 1.0)
         z = encoder.apply(params["encoder"], xw)
+        if level_anneal_steps > 0:
+            # coarse-to-fine curriculum on the CANONICAL appearance encoder
+            # (same scheme as make_hash_mlp(level_anneal_steps=); the warp
+            # field itself is untouched — motion should organize against a
+            # coarse appearance before fine detail joins)
+            step = state["anneal_step"]
+            alpha = jnp.clip(step.astype(jnp.float32) / level_anneal_steps, 0.0, 1.0)
+            lw = jnp.clip(alpha * n_levels
+                          - jnp.arange(n_levels, dtype=jnp.float32) + 1.0, 0.0, 1.0)
+            shp = z.shape
+            z = (z.reshape(shp[:-1] + (n_levels, n_features_per_level))
+                 * lw[:, None]).reshape(shp)
+            state = {**state, "anneal_step": step + (1 if train else 0)}
         for i in range(n_layers):
             z = dense(params["layers"][i], z)
             if i < n_layers - 1:

@@ -563,3 +563,39 @@ def test_level_anneal_trains_through_trainer():
     # the scan threads state: the counter advanced once per train step
     assert int(res.state["anneal_step"]) == res.steps
     assert res.losses[-1] < res.losses[0]
+
+
+def test_warp_level_anneal():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mri_interpolation_tpu.io import dataset_from_array, synthetic_volume
+    from mri_interpolation_tpu.models import make_warp_inr
+    from mri_interpolation_tpu.train import TrainConfig, Trainer
+
+    kw = dict(dim_in=3, n_levels=2, n_features_per_level=2,
+              log2_hashmap_size=8, base_resolution=(4, 4),
+              finest_resolution=(12, 12), dim_hidden=16, n_layers=2,
+              warp_hidden=8, warp_layers=2, warp_accel=1.0)
+    plain = make_warp_inr(**kw)
+    annealed = make_warp_inr(**kw, level_anneal_steps=5)
+    params, state = annealed.init(jax.random.key(0))
+    x = jnp.asarray(np.random.default_rng(1).random((16, 3), np.float32))
+
+    # past the ramp: bit-identical to the unannealed model on the same params
+    y_done, _ = annealed.apply(params, {"anneal_step": jnp.asarray(5, jnp.int32)},
+                               x, train=False, rng=None)
+    y_full, _ = plain.apply(params, {}, x, train=False, rng=None)
+    np.testing.assert_array_equal(np.asarray(y_done), np.asarray(y_full))
+    # at step 0 the fine level is silent -> different output
+    y0, s1 = annealed.apply(params, state, x, train=True, rng=None)
+    assert int(s1["anneal_step"]) == 1
+    assert not np.allclose(np.asarray(y0), np.asarray(y_full))
+
+    # the warp loss_fn (accel prior) threads the counter through the Trainer
+    ds = dataset_from_array(synthetic_volume((8, 8, 6), seed=0))
+    res = Trainer(TrainConfig(batch_size=64, epochs=2, lr=1e-2, seed=0)).fit(
+        annealed, ds.coords, ds.values)
+    assert np.isfinite(res.losses).all()
+    assert int(res.state["anneal_step"]) == res.steps
