@@ -220,6 +220,9 @@ def main(argv=None):
             base_resolution=(64, 64), finest_resolution=(352, 352),
             dim_hidden=64, n_layers=2, warp_hidden=64, warp_layers=3,
             warp_w0=5.0, warp_scale=0.05, residual_scale=0.05, warp_accel=1.0,
+            # coarse-to-fine curriculum on the canonical encoder: +0.29 dB
+            # held-out across seeds (CHANGES.md round-3 A/B)
+            level_anneal_steps=600,
         )
         warp_epochs = 60
         warp_cfg = TrainConfig(batch_size=batch, epochs=warp_epochs, lr=1e-2, seed=1337,

@@ -26,5 +26,9 @@ python -c "import jax; d = jax.devices(); assert d[0].platform != 'cpu', d; prin
 
 python -u scripts/experiments.py --stacked4d
 python -u bench.py | tee /tmp/bench_r03_smoke.json
+#  5. (optional, ~1h) re-measure the warp sweep with the level-anneal rows —
+#     the round-3 CPU A/B found +0.29 dB held-out from annealing the warp's
+#     canonical encoder; the sweep's ensemble row now uses it:
+# python -u scripts/warp_sweep.py
 python -u scripts/experiments.py --render-only
 echo "queue done — review RESULTS.md + /tmp/bench_r03_smoke.json, then commit"

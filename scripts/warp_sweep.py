@@ -84,11 +84,15 @@ def main():
     run("warp_t_scale 0.5 + accel 1", warp_t_scale=0.5, warp_accel=1.0)
     run("accel 1, 200 epochs", ep=200, warp_accel=1.0)
     run("base seed 7 (noise floor)", seed=7)
+    # coarse-to-fine curriculum on the canonical encoder (+0.29 dB in the
+    # round-3 CPU A/B at 60 epochs; CHANGES.md)
+    run("+ anneal 600 + accel 1", warp_accel=1.0, level_anneal_steps=600)
+    run("+ anneal 1800 + accel 1", warp_accel=1.0, level_anneal_steps=1800)
 
     # seed ensemble + linear blends of the best single config (accel 1)
-    best = dict(BASE, warp_accel=1.0)
+    best = dict(BASE, warp_accel=1.0, level_anneal_steps=600)
     ep = int(100 * k) or 2
-    for blend, name in ((0.0, "ENSEMBLE of 4 seeds (accel 1)"),
+    for blend, name in ((0.0, "ENSEMBLE of 4 seeds (accel 1 + anneal 600)"),
                         (0.2, "ensemble + 0.2 linear blend")):
         t0 = time.time()
         q = ensembled_warp_fit_eval(lambda: make_warp_inr(**best), img, tc(ep),
