@@ -30,5 +30,22 @@ python -u bench.py | tee /tmp/bench_r03_smoke.json
 #     the round-3 CPU A/B found +0.29 dB held-out from annealing the warp's
 #     canonical encoder; the sweep's ensemble row now uses it:
 # python -u scripts/warp_sweep.py
+#  6. (optional, ~2h) refresh the stacked row with ANNEALED warp families —
+#     level_anneal_steps flows through default_interp_families' warp_kwargs;
+#     use a fresh cache dir so the 26.16 row's provenance stays intact:
+# python - <<'PY'
+# import json
+# from mri_interpolation_tpu.io import load_volume
+# from mri_interpolation_tpu.train import TrainConfig
+# from mri_interpolation_tpu.train.stacking import stacked_interp_eval
+# img = load_volume('/root/reference/sample_ankle_dyn_mri.nii.gz',
+#                   slice_axes=(slice(None), slice(None), 3, slice(None))).image()
+# cfg = TrainConfig(batch_size=10000, epochs=100, lr=1e-2, optimizer="adam_tcnn",
+#                   lr_schedule="cosine", cosine_t_max=100, weight_decay=1e-5)
+# _, q = stacked_interp_eval(img, cfg, seeds=(1337, 7, 23, 99),
+#                            level_anneal_steps=600,
+#                            cache_dir="runs/stacked_cache_ep100_anneal")
+# print(json.dumps({"odd": q["odd"], "weights": q["weights"]["global"]}))
+# PY
 python -u scripts/experiments.py --render-only
 echo "queue done — review RESULTS.md + /tmp/bench_r03_smoke.json, then commit"
