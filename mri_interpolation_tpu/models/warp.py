@@ -79,6 +79,11 @@ def make_warp_inr(
     residual_w0: float = 0.0,        # 0 -> warp_w0; smaller = lower-freq residual in (x,t)
     warp_smooth: float = 0.0,        # spatial Jacobian penalty weight on d
     warp_accel: float = 0.0,         # temporal acceleration penalty weight on d
+    warp_accel_dt: float = 0.5 / 15.0,  # accel probe half-spacing in normalized t
+                                     # (default = half-frame on the 15-frame
+                                     # ankle workload; set ~half the KEPT-frame
+                                     # spacing so the prior acts between the
+                                     # observed frames)
     residual_accel: float = 0.0,     # temporal acceleration penalty on r(x,t)
     warp_t_scale: float = 1.0,       # <1 compresses the time input -> smoother d in t
     level_anneal_steps: int = 0,     # >0: coarse-to-fine curriculum on the canonical encoder
@@ -192,7 +197,7 @@ def make_warp_inr(
                 # temporal second difference at half-frame spacing: favors
                 # near-linear variation between trained frames — exactly the
                 # prior the held-out even-frame protocol rewards
-                dt = jnp.zeros((1, dim_in)).at[0, dim_in - 1].set(0.5 / 15.0)
+                dt = jnp.zeros((1, dim_in)).at[0, dim_in - 1].set(warp_accel_dt)
                 dt = jnp.broadcast_to(dt, x.shape)
                 if warp_accel > 0.0:
                     d0 = warp_field(params, x)
@@ -211,6 +216,8 @@ def make_warp_inr(
                  hparams={"lr": lr, "warp_scale": warp_scale, "warp_w0": warp_w0,
                           "encoder": encoder,
                           # d(x, t) itself — consumed by the motion-transfer
-                          # interpolator (infer/registration.py), which pairs
-                          # the INR's deformation with DATA-space appearance
+                          # interpolator (infer/registration.py:
+                          # motion_transfer_at and the stacking protocol's
+                          # warp_transfer family), which pairs the INR's
+                          # deformation with DATA-space appearance
                           "warp_field": warp_field}, loss_fn=loss_fn)

@@ -272,3 +272,39 @@ def test_stacked_temporal_upsample_uncertainty_surface():
     np.testing.assert_allclose(sigma[..., ::2], 0.0, atol=0)   # observed frames
     assert float(sigma[..., 1::2].max()) > 0.0                 # synthesized ones
     assert "_components" not in weights
+
+
+def test_warp_and_transfer_families_share_fits(monkeypatch):
+    """warp and warp_transfer train identical models on identical data —
+    the fit memo must make the pair cost ONE ensemble. Count Trainer.fit
+    calls across both families' deployments."""
+    import mri_interpolation_tpu.train.stacking as stk
+    from mri_interpolation_tpu.train.trainer import Trainer
+
+    stk._FIT_MEMO.clear()
+    calls = {"n": 0}
+    orig_fit = Trainer.fit
+
+    def counting_fit(self, *a, **k):
+        calls["n"] += 1
+        return orig_fit(self, *a, **k)
+
+    monkeypatch.setattr(Trainer, "fit", counting_fit)
+
+    rng = np.random.default_rng(3)
+    img = rng.random((8, 8, 5), dtype=np.float32)
+    even = img[..., ::2]
+    t_keep = np.asarray([0.0, 0.5, 1.0])
+    t_eval = np.asarray([0.25, 0.75])
+    cfg = TrainConfig(batch_size=64, epochs=1, lr=1e-2)
+    kw = dict(n_levels=2, n_features_per_level=1, log2_hashmap_size=8,
+              base_resolution=(4, 4), finest_resolution=(8, 8),
+              warp_hidden=8, warp_layers=2, dim_hidden=8, n_layers=2,
+              warp_w0=5.0, warp_accel=1.0, warp_scale=0.05)
+    warp = stk._warp_family(cfg, (0, 1), (8, 8, 5), **kw)
+    transfer = stk._warp_transfer_family(cfg, (0, 1), **kw)
+    warp(even, t_keep, t_eval)
+    assert calls["n"] == 2
+    transfer(even, t_keep, t_eval)
+    assert calls["n"] == 2, "warp_transfer retrained instead of reusing fits"
+    stk._FIT_MEMO.clear()
