@@ -282,3 +282,31 @@ def test_warp_transfer_in_default_families():
 
     fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9))
     assert "warp_transfer" in fams
+
+
+def test_motion_transfer_3d_spatial():
+    """motion_transfer_at on a 3D+t volume (the --stacked4d configuration):
+    a trilinearly-sampled translating blob with the TRUE field handed in."""
+    from mri_interpolation_tpu.infer.registration import motion_transfer_at
+
+    v = np.asarray([0.15, 0.0, 0.1], np.float32)
+
+    def frame_at(t):
+        axes = [np.linspace(0.0, 1.0, s, dtype=np.float32) for s in (24, 24, 12)]
+        grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
+        c = np.asarray([0.4, 0.5, 0.4], np.float32) + v * t
+        d2 = np.sum((grid - c) ** 2, axis=-1)
+        return np.exp(-d2 / (2.0 * 0.12**2)).astype(np.float32)
+
+    frames = np.stack([frame_at(0.0), frame_at(1.0)], axis=-1)
+    truth = frame_at(0.5)
+
+    def warp_field(x):
+        return -x[:, -1:] * v[None, :]
+
+    pred = motion_transfer_at(frames, [0.0, 1.0], [0.5], warp_field)[..., 0]
+    fade = 0.5 * frames[..., 0] + 0.5 * frames[..., 1]
+    mse_transfer = float(np.mean((pred - truth) ** 2))
+    mse_fade = float(np.mean((fade - truth) ** 2))
+    # residual error is trilinear resampling on the coarse 12-voxel z axis
+    assert mse_transfer < 0.15 * mse_fade, (mse_transfer, mse_fade)
