@@ -501,6 +501,7 @@ def motion_transfer_at(
     t_eval: Sequence[float],
     warp_field,
     fp_iters: int = 8,
+    appearance: str = "linear",
 ) -> np.ndarray:
     """Synthesize frames at ``t_eval`` by resampling the bracketing OBSERVED
     frames along a learned INR motion field — INR motion, data appearance.
@@ -517,11 +518,19 @@ def motion_transfer_at(
     smooth: ``warp_scale`` ≈ 0.05 of the volume extent; the iteration
     contracts at rate ≈ ‖∂d/∂x‖, so ``fp_iters=8`` is ample for such fields
     and each iteration is just one warp-MLP evaluation), the kept frame is
-    bilinearly sampled at ``y``, and the two bracketing resamples are blended
-    linearly in time. Appearance comes from the DATA, not from the INR's own
+    bilinearly sampled at ``y``, and the bracketing resamples are blended in
+    time. Appearance comes from the DATA, not from the INR's own
     reconstruction — so quality is not capped by the INR's appearance error,
     the limitation of evaluating the INR directly (RESULTS.md: the direct
     warp-INR's full-volume PSNR ≈ 27 dB bounds its held-out frames).
+
+    ``appearance``: how the motion-ALIGNED resamples blend across time —
+    ``"linear"`` cross-fades the two bracketing resamples (no ghosting: both
+    show the same canonical point); ``"cubic"`` runs the same non-uniform
+    cubic Hermite the intensity-space ``cubic`` family uses
+    (infer/classical.py:cubic_interpolate_frames) across FOUR aligned
+    resamples — motion compensation AND intensity-trajectory curvature,
+    which neither the plain transfer nor the plain cubic family has.
 
     At ``t_eval == t_k`` the fixed point is ``y = x`` and the observed frame
     is reproduced exactly (tested). Frames: ``(spatial..., len(t_keep))``;
@@ -540,14 +549,32 @@ def motion_transfer_at(
         return _sample(jnp.asarray(frames[..., k], jnp.float32),
                        y.reshape(spatial + (len(spatial),)))
 
+    if appearance not in ("linear", "cubic"):
+        raise ValueError(f"unknown appearance {appearance!r}")
+    K = len(t_keep)
     out = []
     for t in np.asarray(t_eval, np.float64):
         j = int(np.searchsorted(t_keep, t) - 1)
-        j = min(max(j, 0), len(t_keep) - 2)
+        j = min(max(j, 0), K - 2)
         tau = float(np.clip((t - t_keep[j]) / (t_keep[j + 1] - t_keep[j]), 0.0, 1.0))
         t_col = jnp.full((grid.shape[0], 1), t, jnp.float32)
         c = grid + warp_field(jnp.concatenate([grid, t_col], axis=-1))
-        pred = ((1.0 - tau) * resample_from(j, c)
-                + tau * resample_from(j + 1, c))
+        f1 = resample_from(j, c)
+        f2 = resample_from(j + 1, c)
+        if appearance == "linear":
+            pred = (1.0 - tau) * f1 + tau * f2
+        else:
+            # non-uniform cubic Hermite across the motion-aligned resamples
+            # (same spline as infer/classical.py:cubic_interpolate_frames;
+            # one-sided tangents at the sequence ends)
+            t1, t2 = t_keep[j], t_keep[j + 1]
+            h = t2 - t1
+            m1 = ((f2 - resample_from(j - 1, c)) * (h / (t2 - t_keep[j - 1]))
+                  if j > 0 else f2 - f1)
+            m2 = ((resample_from(j + 2, c) - f1) * (h / (t_keep[j + 2] - t1))
+                  if j + 2 < K else f2 - f1)
+            s = tau
+            pred = ((2 * s**3 - 3 * s**2 + 1) * f1 + (s**3 - 2 * s**2 + s) * m1
+                    + (-2 * s**3 + 3 * s**2) * f2 + (s**3 - s**2) * m2)
         out.append(np.asarray(pred))
     return np.stack(out, axis=-1)

@@ -148,6 +148,7 @@ def _warp_family(config: TrainConfig, seeds: Sequence[int], eval_shape,
 
 
 def _warp_transfer_family(config: TrainConfig, seeds: Sequence[int],
+                          appearance: str = "linear",
                           **warp_kwargs) -> FamilyFn:
     """INR motion + DATA appearance: train the same warp-INR ensemble as the
     ``warp`` family, but synthesize eval frames by motion-transferring the
@@ -170,7 +171,7 @@ def _warp_transfer_family(config: TrainConfig, seeds: Sequence[int],
             wf = model.hparams["warp_field"]
             preds.append(motion_transfer_at(
                 train_frames, t_keep, t_eval,
-                lambda x, p=params: wf(p, x)))
+                lambda x, p=params: wf(p, x), appearance=appearance))
         return np.mean(preds, axis=0)
 
     return family
@@ -267,6 +268,12 @@ def default_interp_families(
                                      warp_w0=5.0, warp_accel=1.0, **base),
         "warp_transfer": _warp_transfer_family(config, seeds,
                                                warp_w0=5.0, warp_accel=1.0, **base),
+        # same fits again (memo): motion-aligned CUBIC appearance — adds the
+        # intensity-curvature modelling of the cubic family on top of the
+        # transfer's motion compensation
+        "warp_transfer_cubic": _warp_transfer_family(
+            config, seeds, appearance="cubic",
+            warp_w0=5.0, warp_accel=1.0, **base),
         "registration": _registration_family(),
         "registration_group": _registration_group_family(),
         "registration_cubic": _registration_group_family(appearance="cubic"),

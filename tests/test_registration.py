@@ -310,3 +310,62 @@ def test_motion_transfer_3d_spatial():
     mse_fade = float(np.mean((fade - truth) ** 2))
     # residual error is trilinear resampling on the coarse 12-voxel z axis
     assert mse_transfer < 0.15 * mse_fade, (mse_transfer, mse_fade)
+
+
+def test_motion_transfer_cubic_exact_on_quadratic_intensity():
+    """Zero motion + quadratic intensity trajectory: appearance='cubic'
+    reduces to the plain intensity-space Hermite, exact on quadratics at
+    interior segments, while the linear transfer cross-fades."""
+    from mri_interpolation_tpu.infer.registration import motion_transfer_at
+
+    rng = np.random.default_rng(0)
+    a = rng.random((12, 12), dtype=np.float32)
+    b = rng.random((12, 12), dtype=np.float32) * 2.0
+    t_keep = np.linspace(0.0, 1.0, 6)
+    frames = np.stack([a + b * (t - 0.4) ** 2 for t in t_keep], axis=-1)
+    t_eval = (t_keep[1:-2] + t_keep[2:-1]) / 2       # interior midpoints
+    truth = np.stack([a + b * (t - 0.4) ** 2 for t in t_eval], axis=-1)
+
+    zero_field = lambda x: jnp.zeros_like(x[:, :-1])
+    cub = motion_transfer_at(frames, t_keep, t_eval, zero_field,
+                             appearance="cubic")
+    lin = motion_transfer_at(frames, t_keep, t_eval, zero_field)
+    np.testing.assert_allclose(cub, truth, atol=1e-5)
+    assert float(np.mean((lin - truth) ** 2)) > 1e-5
+
+
+def test_motion_transfer_cubic_with_motion_beats_linear_transfer():
+    """Moving blob whose peak intensity varies quadratically in time, TRUE
+    field handed in: cubic-appearance transfer must beat linear-appearance
+    transfer (both are motion-aligned; only cubic models the intensity
+    curvature)."""
+    from mri_interpolation_tpu.infer.registration import motion_transfer_at
+
+    v = np.asarray([0.3, 0.0], np.float32)
+    t_keep = np.linspace(0.0, 1.0, 6)
+    t_eval = (t_keep[2:3] + t_keep[3:4]) / 2          # one interior midpoint
+
+    def frame_at(t):
+        amp = 1.0 + 0.8 * (t - 0.4) ** 2
+        return amp * _blob((48, 48), (0.3 + v[0] * t, 0.5))
+
+    frames = np.stack([frame_at(t) for t in t_keep], axis=-1)
+    truth = frame_at(float(t_eval[0]))[..., None]
+
+    def warp_field(x):
+        return -x[:, -1:] * v[None, :]
+
+    cub = motion_transfer_at(frames, t_keep, t_eval, warp_field,
+                             appearance="cubic")
+    lin = motion_transfer_at(frames, t_keep, t_eval, warp_field)
+    mse_c = float(np.mean((cub - truth) ** 2))
+    mse_l = float(np.mean((lin - truth) ** 2))
+    assert mse_c < 0.5 * mse_l, (mse_c, mse_l)
+
+
+def test_warp_transfer_cubic_in_default_families():
+    from mri_interpolation_tpu.train import TrainConfig
+    from mri_interpolation_tpu.train.stacking import default_interp_families
+
+    fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9))
+    assert "warp_transfer_cubic" in fams
