@@ -228,14 +228,32 @@ def main(argv=None):
         warp_cfg = TrainConfig(batch_size=batch, epochs=warp_epochs, lr=1e-2, seed=1337,
                                optimizer="adam_tcnn", lr_schedule="cosine",
                                cosine_t_max=warp_epochs, weight_decay=1e-5)
-        _, warp_q = even_frame_fit_eval(warp, img, warp_cfg)
+        warp_result, warp_q = even_frame_fit_eval(warp, img, warp_cfg)
         lin = linear_interpolate_volume(img[..., ::2], img.shape)
         lin_q = evaluate_reconstruction(
             jax.numpy.asarray(lin[..., 1::2]), jax.numpy.asarray(img[..., 1::2])
         )
+        # same trained fit, second deployment: motion transfer (the INR's
+        # deformation applied to the OBSERVED frames' appearance —
+        # infer/registration.py:motion_transfer_at; best SSIM of any single
+        # family on the full protocol, RESULTS.md)
+        from mri_interpolation_tpu.infer.registration import motion_transfer_at
+
+        even = img[..., ::2]
+        t_full = img.shape[-1]
+        t_keep = np.asarray([2 * j / (t_full - 1) for j in range(even.shape[-1])])
+        t_odd = np.asarray([(2 * j + 1) / (t_full - 1) for j in range(t_full // 2)])
+        wf = warp.hparams["warp_field"]
+        transfer = motion_transfer_at(
+            even, t_keep, t_odd, lambda x: wf(warp_result.params, x))
+        transfer_q = evaluate_reconstruction(
+            jax.numpy.asarray(transfer), jax.numpy.asarray(img[..., 1::2])
+        )
         record.update({
             "odd_psnr_db_warp": round(warp_q["odd"]["psnr"], 2),
             "odd_ssim_warp": round(warp_q["odd"].get("ssim", float("nan")), 4),
+            "odd_psnr_db_warp_transfer": round(transfer_q["psnr"], 2),
+            "odd_ssim_warp_transfer": round(transfer_q.get("ssim", float("nan")), 4),
             "odd_psnr_db_linear": round(lin_q["psnr"], 2),
             "odd_ssim_linear": round(lin_q.get("ssim", float("nan")), 4),
             "warp_epochs": warp_epochs,

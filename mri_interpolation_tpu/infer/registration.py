@@ -502,6 +502,8 @@ def motion_transfer_at(
     warp_field,
     fp_iters: int = 8,
     appearance: str = "linear",
+    residual_field=None,
+    residual_scale: float = 0.0,
 ) -> np.ndarray:
     """Synthesize frames at ``t_eval`` by resampling the bracketing OBSERVED
     frames along a learned INR motion field — INR motion, data appearance.
@@ -532,25 +534,24 @@ def motion_transfer_at(
     resamples — motion compensation AND intensity-trajectory curvature,
     which neither the plain transfer nor the plain cubic family has.
 
+    ``residual_field``/``residual_scale``: contrast-drift correction. A warp
+    INR trained with an appearance residual models
+    ``frame_t(x) = g(x + d) + rs·r(x, t)``; the transferred data sample from
+    kept time t_k carries ``rs·r(y_k, t_k)`` baked in where the synthesized
+    frame should carry ``rs·r(x, t)``. Passing the INR's ``residual_field``
+    (``models/warp.py`` hparams, partially applied like ``warp_field``) adds
+    ``rs·(r(x, t) − blend_k r(y_k, t_k))`` — the same blend operator the
+    appearance uses — which is zero at kept times (exactness preserved).
+
     At ``t_eval == t_k`` the fixed point is ``y = x`` and the observed frame
     is reproduced exactly (tested). Frames: ``(spatial..., len(t_keep))``;
     returns ``(spatial..., len(t_eval))``.
     """
+    if appearance not in ("linear", "cubic"):
+        raise ValueError(f"unknown appearance {appearance!r}")
     t_keep = np.asarray(t_keep, np.float64)
     spatial = frames.shape[:-1]
     grid = _base_grid(spatial).reshape(-1, len(spatial))          # (N, s)
-
-    def resample_from(k: int, c: jnp.ndarray) -> jnp.ndarray:
-        """Sample kept frame k at the positions mapping to canonical c."""
-        tk_col = jnp.full((c.shape[0], 1), t_keep[k], c.dtype)
-        y = c
-        for _ in range(fp_iters):
-            y = c - warp_field(jnp.concatenate([y, tk_col], axis=-1))
-        return _sample(jnp.asarray(frames[..., k], jnp.float32),
-                       y.reshape(spatial + (len(spatial),)))
-
-    if appearance not in ("linear", "cubic"):
-        raise ValueError(f"unknown appearance {appearance!r}")
     K = len(t_keep)
     out = []
     for t in np.asarray(t_eval, np.float64):
@@ -559,22 +560,52 @@ def motion_transfer_at(
         tau = float(np.clip((t - t_keep[j]) / (t_keep[j + 1] - t_keep[j]), 0.0, 1.0))
         t_col = jnp.full((grid.shape[0], 1), t, jnp.float32)
         c = grid + warp_field(jnp.concatenate([grid, t_col], axis=-1))
-        f1 = resample_from(j, c)
-        f2 = resample_from(j + 1, c)
-        if appearance == "linear":
-            pred = (1.0 - tau) * f1 + tau * f2
-        else:
-            # non-uniform cubic Hermite across the motion-aligned resamples
+
+        ys: dict = {}
+
+        def invert(k: int) -> jnp.ndarray:
+            """Fixed-point solve y + d(y, t_k) = c (positions in frame k
+            showing the canonical points c)."""
+            if k not in ys:
+                tk_col = jnp.full((c.shape[0], 1), t_keep[k], c.dtype)
+                y = c
+                for _ in range(fp_iters):
+                    y = c - warp_field(jnp.concatenate([y, tk_col], axis=-1))
+                ys[k] = y
+            return ys[k]
+
+        def blend(fetch):
+            """Appearance blend across aligned per-kept-frame values; applied
+            identically to data samples and to residual samples."""
+            f1, f2 = fetch(j), fetch(j + 1)
+            if appearance == "linear":
+                return (1.0 - tau) * f1 + tau * f2
+            # non-uniform cubic Hermite across the motion-aligned values
             # (same spline as infer/classical.py:cubic_interpolate_frames;
             # one-sided tangents at the sequence ends)
             t1, t2 = t_keep[j], t_keep[j + 1]
             h = t2 - t1
-            m1 = ((f2 - resample_from(j - 1, c)) * (h / (t2 - t_keep[j - 1]))
+            m1 = ((f2 - fetch(j - 1)) * (h / (t2 - t_keep[j - 1]))
                   if j > 0 else f2 - f1)
-            m2 = ((resample_from(j + 2, c) - f1) * (h / (t_keep[j + 2] - t1))
+            m2 = ((fetch(j + 2) - f1) * (h / (t_keep[j + 2] - t1))
                   if j + 2 < K else f2 - f1)
             s = tau
-            pred = ((2 * s**3 - 3 * s**2 + 1) * f1 + (s**3 - 2 * s**2 + s) * m1
+            return ((2 * s**3 - 3 * s**2 + 1) * f1 + (s**3 - 2 * s**2 + s) * m1
                     + (-2 * s**3 + 3 * s**2) * f2 + (s**3 - s**2) * m2)
+
+        def fetch_data(k: int) -> jnp.ndarray:
+            return _sample(jnp.asarray(frames[..., k], jnp.float32),
+                           invert(k).reshape(spatial + (len(spatial),)))
+
+        pred = blend(fetch_data)
+        if residual_field is not None and residual_scale > 0.0:
+            def fetch_resid(k: int) -> jnp.ndarray:
+                tk_col = jnp.full((c.shape[0], 1), t_keep[k], c.dtype)
+                xk = jnp.concatenate([invert(k), tk_col], axis=-1)
+                return residual_field(xk)[:, 0].reshape(spatial)
+
+            r_eval = residual_field(
+                jnp.concatenate([grid, t_col], axis=-1))[:, 0].reshape(spatial)
+            pred = pred + residual_scale * (r_eval - blend(fetch_resid))
         out.append(np.asarray(pred))
     return np.stack(out, axis=-1)

@@ -220,4 +220,9 @@ def make_warp_inr(
                           # motion_transfer_at and the stacking protocol's
                           # warp_transfer family), which pairs the INR's
                           # deformation with DATA-space appearance
-                          "warp_field": warp_field}, loss_fn=loss_fn)
+                          "warp_field": warp_field,
+                          # r(x, t) for the transfer's contrast-drift
+                          # correction (motion_transfer_at residual_field=)
+                          "residual_field": (residual_field
+                                             if residual_scale > 0.0 else None),
+                          "residual_scale": residual_scale}, loss_fn=loss_fn)

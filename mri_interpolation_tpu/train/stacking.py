@@ -13,6 +13,11 @@ predictor FAMILIES with decorrelated errors:
 - ``warp_transfer`` the warp-INR's MOTION applied to the observed frames'
                     APPEARANCE (infer/registration.py:motion_transfer_at) —
                     not capped by the INR's own reconstruction error
+- ``warp_transfer_cubic``  same aligned resamples, cubic Hermite appearance
+                    blend (adds intensity-trajectory curvature)
+- ``warp_transfer_res``  same + the INR's residual-field contrast-drift
+                    correction (all three transfer variants reuse the warp
+                    family's fits through the in-process fit memo)
 - ``registration``  pairwise symmetric registration midpoint
                     (infer/registration.py) — data-space appearance
 - ``registration_group``  group temporal registration: one coherent motion
@@ -149,6 +154,7 @@ def _warp_family(config: TrainConfig, seeds: Sequence[int], eval_shape,
 
 def _warp_transfer_family(config: TrainConfig, seeds: Sequence[int],
                           appearance: str = "linear",
+                          use_residual: bool = False,
                           **warp_kwargs) -> FamilyFn:
     """INR motion + DATA appearance: train the same warp-INR ensemble as the
     ``warp`` family, but synthesize eval frames by motion-transferring the
@@ -169,9 +175,13 @@ def _warp_transfer_family(config: TrainConfig, seeds: Sequence[int],
             model, params, _ = _fit_warp_memoized(
                 config, seed, coords, values, len(spatial) + 1, warp_kwargs)
             wf = model.hparams["warp_field"]
+            rf = model.hparams["residual_field"] if use_residual else None
             preds.append(motion_transfer_at(
                 train_frames, t_keep, t_eval,
-                lambda x, p=params: wf(p, x), appearance=appearance))
+                lambda x, p=params: wf(p, x), appearance=appearance,
+                residual_field=(None if rf is None
+                                else (lambda x, p=params, rf=rf: rf(p, x))),
+                residual_scale=model.hparams["residual_scale"]))
         return np.mean(preds, axis=0)
 
     return family
@@ -273,6 +283,11 @@ def default_interp_families(
         # transfer's motion compensation
         "warp_transfer_cubic": _warp_transfer_family(
             config, seeds, appearance="cubic",
+            warp_w0=5.0, warp_accel=1.0, **base),
+        # same fits again: transfer + the INR's contrast-drift correction
+        # (residual_field delta; zero at kept times)
+        "warp_transfer_res": _warp_transfer_family(
+            config, seeds, use_residual=True,
             warp_w0=5.0, warp_accel=1.0, **base),
         "registration": _registration_family(),
         "registration_group": _registration_group_family(),

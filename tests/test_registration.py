@@ -369,3 +369,51 @@ def test_warp_transfer_cubic_in_default_families():
 
     fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9))
     assert "warp_transfer_cubic" in fams
+
+
+def test_motion_transfer_residual_corrects_contrast_drift():
+    """Static scene with a nonlinear global contrast drift a(t): the plain
+    transfer cross-fades a(t) linearly between kept times; handing in the
+    TRUE residual field corrects it almost exactly. At kept times the
+    correction is zero by construction (blend reduces to the sample)."""
+    from mri_interpolation_tpu.infer.registration import motion_transfer_at
+
+    base = _blob((32, 32), (0.5, 0.5))
+    amp = lambda t: 1.0 + 0.5 * np.sin(np.pi * t)     # nonlinear drift
+    t_keep = np.asarray([0.0, 0.5, 1.0])
+    t_eval = np.asarray([0.25, 0.75])
+    frames = np.stack([amp(t) * base for t in t_keep], axis=-1)
+    truth = np.stack([amp(t) * base for t in t_eval], axis=-1)
+
+    zero_field = lambda x: jnp.zeros_like(x[:, :-1])
+    rs = 0.5
+
+    def residual_field(x):
+        # frame_t = base + rs*r(x,t) with r = (amp(t)-1)/rs * base(x);
+        # the blob is analytic, so evaluate it directly at x
+        t = x[:, -1]
+        d2 = jnp.sum((x[:, :-1] - 0.5) ** 2, axis=-1)
+        b = jnp.exp(-d2 / (2.0 * 0.12**2))
+        return (((1.0 + 0.5 * jnp.sin(jnp.pi * t)) - 1.0) / rs * b)[:, None]
+
+    plain = motion_transfer_at(frames, t_keep, t_eval, zero_field)
+    corrected = motion_transfer_at(frames, t_keep, t_eval, zero_field,
+                                   residual_field=residual_field,
+                                   residual_scale=rs)
+    mse_plain = float(np.mean((plain - truth) ** 2))
+    mse_corr = float(np.mean((corrected - truth) ** 2))
+    assert mse_corr < 0.05 * mse_plain, (mse_corr, mse_plain)
+
+    # kept times: correction exactly zero -> observed frames reproduced
+    at_kept = motion_transfer_at(frames, t_keep, t_keep, zero_field,
+                                 residual_field=residual_field,
+                                 residual_scale=rs)
+    np.testing.assert_allclose(at_kept, frames, atol=1e-5)
+
+
+def test_warp_transfer_res_in_default_families():
+    from mri_interpolation_tpu.train import TrainConfig
+    from mri_interpolation_tpu.train.stacking import default_interp_families
+
+    fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9))
+    assert "warp_transfer_res" in fams
