@@ -16,8 +16,12 @@ predictor FAMILIES with decorrelated errors:
 - ``warp_transfer_cubic``  same aligned resamples, cubic Hermite appearance
                     blend (adds intensity-trajectory curvature)
 - ``warp_transfer_res``  same + the INR's residual-field contrast-drift
-                    correction (all three transfer variants reuse the warp
+                    correction (all transfer variants reuse the warp
                     family's fits through the in-process fit memo)
+- ``warp_transfer_avg``  consensus-motion transfer: the seeds' deformation
+                    fields are averaged pointwise and ONE transfer runs
+                    along the mean motion (+ residual correction) — sharper
+                    than averaging four independently-resampled intensities
 - ``registration``  pairwise symmetric registration midpoint
                     (infer/registration.py) — data-space appearance
 - ``registration_group``  group temporal registration: one coherent motion
@@ -78,6 +82,14 @@ FamilyFn = Callable[[np.ndarray, np.ndarray, np.ndarray], np.ndarray]
 _FIT_MEMO: dict = {}
 _FIT_MEMO_MAX = 16
 
+# Disk layer under the in-process memo: fitted warp params/state are pickled
+# under this directory, keyed by the same exhaustive key (training-set sha1 +
+# seed + every hyperparameter + TrainConfig). New transfer DEPLOYMENTS of an
+# already-measured ensemble (appearance blends, residual correction, motion
+# averaging) then cost inference only — not a 28-fit protocol re-run. Set the
+# env var to "" to disable, or to another directory to relocate.
+_FIT_DISK_DIR = os.environ.get("MRI_TPU_WARP_FIT_CACHE", "runs/warp_fit_cache")
+
 
 def _fit_warp_memoized(config: TrainConfig, seed: int, coords, values,
                        dim_in: int, warp_kwargs: dict):
@@ -100,8 +112,25 @@ def _fit_warp_memoized(config: TrainConfig, seed: int, coords, values,
         params, state = _FIT_MEMO.pop(key)
         _FIT_MEMO[key] = (params, state)           # refresh LRU order
         return model, params, state
-    res = Trainer(dataclasses.replace(config, seed=seed)).fit(model, coords, values)
-    params, state = jax.device_get((res.params, res.state))
+    disk_path = (os.path.join(_FIT_DISK_DIR,
+                              hashlib.sha1(repr(key).encode()).hexdigest() + ".pkl")
+                 if _FIT_DISK_DIR else None)
+    if disk_path is not None and os.path.exists(disk_path):
+        import pickle
+
+        with open(disk_path, "rb") as f:
+            params, state = pickle.load(f)
+    else:
+        res = Trainer(dataclasses.replace(config, seed=seed)).fit(model, coords, values)
+        params, state = jax.device_get((res.params, res.state))
+        if disk_path is not None:
+            import pickle
+
+            os.makedirs(_FIT_DISK_DIR, exist_ok=True)
+            tmp = disk_path + ".tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump((params, state), f)
+            os.replace(tmp, disk_path)              # atomic: crash-safe cache
     _FIT_MEMO[key] = (params, state)
     while len(_FIT_MEMO) > _FIT_MEMO_MAX:
         _FIT_MEMO.pop(next(iter(_FIT_MEMO)))
@@ -155,6 +184,7 @@ def _warp_family(config: TrainConfig, seeds: Sequence[int], eval_shape,
 def _warp_transfer_family(config: TrainConfig, seeds: Sequence[int],
                           appearance: str = "linear",
                           use_residual: bool = False,
+                          average_motion: bool = False,
                           **warp_kwargs) -> FamilyFn:
     """INR motion + DATA appearance: train the same warp-INR ensemble as the
     ``warp`` family, but synthesize eval frames by motion-transferring the
@@ -163,25 +193,53 @@ def _warp_transfer_family(config: TrainConfig, seeds: Sequence[int],
     INR's own reconstruction. Decorrelated from ``warp`` exactly where the
     INR's appearance error dominates (the INR family's quality is capped by
     its ~27 dB full-volume reconstruction; the transferred appearance is the
-    data itself)."""
+    data itself).
+
+    ``average_motion``: fuse the seeds in MOTION space instead of intensity
+    space — average the ensemble's displacement fields (and residual fields)
+    pointwise and run ONE transfer along the consensus motion. Averaging
+    transferred intensities blurs wherever the seeds' motions disagree (each
+    resample lands on a slightly different data pixel); averaging the small,
+    smooth fields first keeps the single resample sharp."""
     from ..infer.registration import motion_transfer_at
 
     def family(train_frames, t_keep, t_eval):
         spatial = train_frames.shape[:-1]
         coords = _coords_for_frames(spatial, t_keep)
         values = np.moveaxis(train_frames, -1, 0).reshape(-1, 1)
-        preds = []
+        fits = []
         for seed in seeds:
             model, params, _ = _fit_warp_memoized(
                 config, seed, coords, values, len(spatial) + 1, warp_kwargs)
+            fits.append((model, params))
+        rs = fits[0][0].hparams["residual_scale"]
+
+        def transfer(warp_fn, res_fn):
+            return motion_transfer_at(
+                train_frames, t_keep, t_eval, warp_fn,
+                appearance=appearance, residual_field=res_fn,
+                residual_scale=rs)
+
+        if average_motion:
+            def warp_mean(x):
+                return np.mean([m.hparams["warp_field"](p, x)
+                                for m, p in fits], axis=0)
+
+            res_mean = None
+            if use_residual:
+                def res_mean(x):
+                    return np.mean([m.hparams["residual_field"](p, x)
+                                    for m, p in fits], axis=0)
+
+            return transfer(warp_mean, res_mean)
+
+        preds = []
+        for model, params in fits:
             wf = model.hparams["warp_field"]
             rf = model.hparams["residual_field"] if use_residual else None
-            preds.append(motion_transfer_at(
-                train_frames, t_keep, t_eval,
-                lambda x, p=params: wf(p, x), appearance=appearance,
-                residual_field=(None if rf is None
-                                else (lambda x, p=params, rf=rf: rf(p, x))),
-                residual_scale=model.hparams["residual_scale"]))
+            preds.append(transfer(
+                lambda x, p=params: wf(p, x),
+                None if rf is None else (lambda x, p=params, rf=rf: rf(p, x))))
         return np.mean(preds, axis=0)
 
     return family
@@ -288,6 +346,12 @@ def default_interp_families(
         # (residual_field delta; zero at kept times)
         "warp_transfer_res": _warp_transfer_family(
             config, seeds, use_residual=True,
+            warp_w0=5.0, warp_accel=1.0, **base),
+        # same fits again: consensus-motion transfer — average the seeds'
+        # deformation/residual fields, resample ONCE (motion-space fusion
+        # stays sharp where intensity-space fusion blurs on disagreement)
+        "warp_transfer_avg": _warp_transfer_family(
+            config, seeds, use_residual=True, average_motion=True,
             warp_w0=5.0, warp_accel=1.0, **base),
         "registration": _registration_family(),
         "registration_group": _registration_group_family(),

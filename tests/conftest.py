@@ -11,6 +11,9 @@ import os
 # sitecustomize, so plain env vars are too late for the platform choice —
 # use jax.config (effective until backends initialize).
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Disable the warp-fit disk cache under pytest: tests that count Trainer.fit
+# calls (test_stacking.py) must not be satisfied by a stale runs/ artifact.
+os.environ["MRI_TPU_WARP_FIT_CACHE"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

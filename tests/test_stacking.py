@@ -308,3 +308,75 @@ def test_warp_and_transfer_families_share_fits(monkeypatch):
     transfer(even, t_keep, t_eval)
     assert calls["n"] == 2, "warp_transfer retrained instead of reusing fits"
     stk._FIT_MEMO.clear()
+
+
+def test_warp_fit_disk_cache_survives_memo_eviction(monkeypatch, tmp_path):
+    """The disk layer under the fit memo: after the in-process memo is
+    cleared (a new process, a VM reset), re-deploying the same family must
+    load params from disk instead of refitting, and predict identically."""
+    import mri_interpolation_tpu.train.stacking as stk
+    from mri_interpolation_tpu.train.trainer import Trainer
+
+    stk._FIT_MEMO.clear()
+    monkeypatch.setattr(stk, "_FIT_DISK_DIR", str(tmp_path / "fit_cache"))
+    calls = {"n": 0}
+    orig_fit = Trainer.fit
+
+    def counting_fit(self, *a, **k):
+        calls["n"] += 1
+        return orig_fit(self, *a, **k)
+
+    monkeypatch.setattr(Trainer, "fit", counting_fit)
+
+    rng = np.random.default_rng(4)
+    img = rng.random((8, 8, 5), dtype=np.float32)
+    even = img[..., ::2]
+    t_keep = np.asarray([0.0, 0.5, 1.0])
+    t_eval = np.asarray([0.25, 0.75])
+    cfg = TrainConfig(batch_size=64, epochs=1, lr=1e-2)
+    kw = dict(n_levels=2, n_features_per_level=1, log2_hashmap_size=8,
+              base_resolution=(4, 4), finest_resolution=(8, 8),
+              warp_hidden=8, warp_layers=2, dim_hidden=8, n_layers=2,
+              warp_w0=5.0, warp_accel=1.0, warp_scale=0.05)
+    fam = stk._warp_transfer_family(cfg, (0,), **kw)
+    first = fam(even, t_keep, t_eval)
+    assert calls["n"] == 1
+    stk._FIT_MEMO.clear()                       # simulate a fresh process
+    second = fam(even, t_keep, t_eval)
+    assert calls["n"] == 1, "refit despite a valid disk cache entry"
+    np.testing.assert_allclose(second, first, rtol=0, atol=1e-6)
+    stk._FIT_MEMO.clear()
+
+
+def test_warp_transfer_avg_single_seed_matches_per_seed():
+    """With ONE seed, consensus-motion transfer (average_motion=True) and the
+    per-seed transfer are the same computation — predictions must agree to
+    float tolerance. (With multiple seeds they differ by design: fields are
+    averaged before the resample.)"""
+    import mri_interpolation_tpu.train.stacking as stk
+
+    stk._FIT_MEMO.clear()
+    rng = np.random.default_rng(5)
+    img = rng.random((8, 8, 5), dtype=np.float32)
+    even = img[..., ::2]
+    t_keep = np.asarray([0.0, 0.5, 1.0])
+    t_eval = np.asarray([0.25, 0.75])
+    cfg = TrainConfig(batch_size=64, epochs=2, lr=1e-2)
+    kw = dict(n_levels=2, n_features_per_level=1, log2_hashmap_size=8,
+              base_resolution=(4, 4), finest_resolution=(8, 8),
+              warp_hidden=8, warp_layers=2, dim_hidden=8, n_layers=2,
+              warp_w0=5.0, warp_accel=1.0, warp_scale=0.05)
+    per_seed = stk._warp_transfer_family(cfg, (0,), use_residual=True, **kw)
+    avg = stk._warp_transfer_family(cfg, (0,), use_residual=True,
+                                    average_motion=True, **kw)
+    a = per_seed(even, t_keep, t_eval)
+    b = avg(even, t_keep, t_eval)
+    np.testing.assert_allclose(b, a, rtol=0, atol=1e-5)
+    stk._FIT_MEMO.clear()
+
+
+def test_warp_transfer_avg_in_default_families():
+    from mri_interpolation_tpu.train.stacking import default_interp_families
+
+    fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9))
+    assert "warp_transfer_avg" in fams
