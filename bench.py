@@ -28,26 +28,11 @@ BASELINE_VOXELS_PER_SEC = 154_800.0  # reference GPU anecdote, see docstring
 
 
 def _devices_nonblocking(timeout_s: float = 60.0) -> int:
-    """``len(jax.devices())`` behind a watchdog thread: enumerating the axon
-    TPU tunnel blocks indefinitely when the tunnel is down (same failure mode
-    __graft_entry__._device_count_nonblocking guards against), and the driver
-    must always get its one JSON line. Returns 0 on hang/failure."""
-    import threading
+    """Shared watchdog device enumeration (utils.device_count_nonblocking):
+    a dead tunnel must yield 0 — the driver always gets its one JSON line."""
+    from mri_interpolation_tpu.utils import device_count_nonblocking
 
-    out: list = []
-
-    def probe():
-        try:
-            import jax
-
-            out.append(len(jax.devices()))
-        except Exception:
-            out.append(0)
-
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return out[0] if out else 0
+    return device_count_nonblocking(timeout_s)
 
 
 def _cpu_fallback() -> None:

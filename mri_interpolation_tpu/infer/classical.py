@@ -160,6 +160,12 @@ def main(argv=None):
     if args.even_frames:
         out = temporal_upsample_classical(src, full_shape[-1], method=args.method)
     else:
+        # all-frames mode resamples onto the SAME grid (reference interp.py
+        # parity) — only the linear resampler applies; refuse rather than
+        # silently run linear under another method's name
+        if args.method != "linear":
+            p.error("--no-even_frames supports --method linear only "
+                    "(the motion/cubic methods synthesize NEW frames)")
         out = linear_interpolate_volume(src, full_shape)
     nifti.save(out.astype(np.float32), args.out)
     print(f"wrote {args.out} shape={out.shape} method={args.method}")

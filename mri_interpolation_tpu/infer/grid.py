@@ -123,6 +123,17 @@ def evaluate_grid(
         # dominant per-chunk cost of dense-grid inference — hoist it out.
         hp = model.hparams or {}
         prepare, encode, decode = hp.get("prepare_encode"), hp.get("encode"), hp.get("decode")
+        # Level-anneal curriculum weighting (models/hash_mlp.py): apply()
+        # weights encoder features by the state's anneal counter; a split
+        # encode->decode path must do the same or a model evaluated before
+        # its ramp completes is evaluated with a DIFFERENT function than the
+        # one being trained. Returns None when no curriculum is active.
+        aw = hp.get("anneal_weights")
+
+        def _weighted(z, s):
+            w = aw(s) if aw is not None else None
+            return z if w is None else z * w
+
         split = encode is not None and decode is not None and frame_idx is None
         if return_latents and not split:
             raise ValueError(
@@ -155,7 +166,10 @@ def evaluate_grid(
                     x = transform(x)
                 if split:
                     z = encode(params, x, prepared)
-                    y, _ = decode(params, state, z, train=False, rng=None)
+                    # latents stay RAW (parity with the reference's encoder
+                    # capture); the decoder sees the curriculum-weighted ones
+                    y, _ = decode(params, state, _weighted(z, state),
+                                  train=False, rng=None)
                     return carry, ((y, z) if return_latents else y)
                 kwargs = {} if frame_idx is None else {"frame_idx": frame_idx}
                 y, _ = model.apply(params, state, x, train=False, rng=None, **kwargs)
@@ -173,7 +187,7 @@ def evaluate_grid(
                 zc = z.reshape(n_chunks, chunk_size, -1)
 
                 def dec_chunk(carry, zi):
-                    y, _ = decode(p, s, zi, train=False, rng=None)
+                    y, _ = decode(p, s, _weighted(zi, s), train=False, rng=None)
                     return carry, y
 
                 ys = jax.lax.scan(dec_chunk, 0, zc)[1]
@@ -289,12 +303,17 @@ def predict_batched(
         hp = model.hparams or {}
         prepare, encode, decode = hp.get("prepare_encode"), hp.get("encode"), hp.get("decode")
         hoist = prepare is not None and encode is not None and decode is not None and frame_idx is None
+        aw = hp.get("anneal_weights")   # see evaluate_grid: split paths must
+                                        # reapply the curriculum weighting
 
         def make_chunk_eval(prepared):
             def eval_chunk(carry, x):
                 p, s = carry
                 if prepared is not None:
-                    y, _ = decode(p, s, encode(p, x, prepared), train=False, rng=None)
+                    z = encode(p, x, prepared)
+                    w = aw(s) if aw is not None else None
+                    y, _ = decode(p, s, z if w is None else z * w,
+                                  train=False, rng=None)
                 else:
                     y, _ = model.apply(p, s, x, train=False, rng=None, **kwargs)
                 return carry, y

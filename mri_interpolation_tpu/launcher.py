@@ -211,7 +211,8 @@ def run(cfg: RunConfig, run_dir: Optional[str] = None) -> dict:
             raise ValueError("--level_anneal_steps does not compose with --shard_tables")
         from .parallel import ShardedHashTrainer
 
-        result = ShardedHashTrainer(tc).fit(model, train_coords, train_values, params=params, state=state)
+        result = ShardedHashTrainer(tc).fit(model, train_coords, train_values,
+                                            params=params, state=state, eval_fn=eval_fn)
     elif cfg.stream_shard_voxels > 0:
         # Out-of-core path: only one shard of (coords, values) is
         # device-resident at a time. The dataset's values are already
@@ -229,13 +230,15 @@ def run(cfg: RunConfig, run_dir: Optional[str] = None) -> dict:
         if cfg.data_parallel and len(jax.devices()) > 1:
             from .parallel import DataParallelTrainer
 
-            result = DataParallelTrainer(tc).fit_streaming(model, ds.image(), **stream_kw)
+            result = DataParallelTrainer(tc).fit_streaming(model, ds.image(),
+                                                           eval_fn=eval_fn, **stream_kw)
         else:
             result = Trainer(tc).fit_streaming(model, ds.image(), eval_fn=eval_fn, **stream_kw)
     elif cfg.data_parallel and len(jax.devices()) > 1:
         from .parallel import DataParallelTrainer
 
-        result = DataParallelTrainer(tc).fit(model, train_coords, train_values, params=params, state=state)
+        result = DataParallelTrainer(tc).fit(model, train_coords, train_values,
+                                             params=params, state=state, eval_fn=eval_fn)
     else:
         result = Trainer(tc).fit(model, train_coords, train_values, params=params, state=state,
                                  eval_fn=eval_fn)
@@ -345,6 +348,13 @@ def plan_from_config(cfg: RunConfig, n_devices: int = 1,
     vol_shape = None
     if cfg.image_path and os.path.exists(cfg.image_path):
         vol_shape = nifti.peek_shape(cfg.image_path)
+    # Plan the shape run() actually fits, not the on-disk header shape: the
+    # same slice_z / even-frame reductions run() applies (launcher.py:103-130)
+    # change the dataset residency and dim_in the plan reasons about.
+    if vol_shape and cfg.slice_z is not None and len(vol_shape) == 4:
+        vol_shape = vol_shape[:2] + vol_shape[3:]
+    if vol_shape and cfg.even_frames_only:
+        vol_shape = vol_shape[:-1] + (-(-vol_shape[-1] // 2),)
     dim_in = cfg.dim_in or (len(vol_shape) if vol_shape else 3)
     # same rank-adaptation run() applies when the configured resolution
     # tuples don't match the volume rank
@@ -363,6 +373,8 @@ def plan_from_config(cfg: RunConfig, n_devices: int = 1,
         dim_hidden=cfg.dim_hidden, n_layers=cfg.n_layers,
         dim_out=cfg.dim_out, decoder=cfg.decoder,
         batch_size=cfg.batch_size, volume_shape=vol_shape,
+        row_fraction=(cfg.undersample_pct / 100.0
+                      if cfg.undersample_pct > 0 else 1.0),
         n_devices=n_devices, optimizer=cfg.optimizer, remat=cfg.remat,
         hbm_bytes=hbm_bytes,
     )

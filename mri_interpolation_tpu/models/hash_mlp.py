@@ -158,19 +158,28 @@ def make_hash_mlp(
     # active (it builds no view).
     prepare_encode = None if fuse_encoder else (lambda params: encoder.prepare(params["encoder"]))
 
+    def anneal_weights(state):
+        """Per-FEATURE curriculum weights (length n_levels*F) at the state's
+        anneal counter, or None when no curriculum is active. The single
+        source of truth for the level-anneal weighting: ``apply`` uses it,
+        and the encode/decode split consumers (infer/grid.py's hoisted paths)
+        MUST apply it between encode and decode or they evaluate a different
+        function than the one being trained."""
+        if level_anneal_steps <= 0 or "anneal_step" not in state:
+            return None
+        step = state["anneal_step"]
+        alpha = jnp.clip(step.astype(jnp.float32) / level_anneal_steps, 0.0, 1.0)
+        lw = jnp.clip(alpha * n_levels - jnp.arange(n_levels, dtype=jnp.float32)
+                      + 1.0, 0.0, 1.0)
+        return jnp.repeat(lw, n_features_per_level)
+
     def apply(params, state, x, train=False, rng=None):
         z = encode(params, x)
-        if level_anneal_steps > 0:
-            step = state["anneal_step"]
-            alpha = jnp.clip(step.astype(jnp.float32) / level_anneal_steps, 0.0, 1.0)
-            lw = jnp.clip(alpha * n_levels - jnp.arange(n_levels, dtype=jnp.float32)
-                          + 1.0, 0.0, 1.0)
-            shape = z.shape
-            z = (z.reshape(shape[:-1] + (n_levels, n_features_per_level))
-                 * lw[:, None]).reshape(shape)
-            y, new_state = decode(params, state, z, train=train, rng=rng)
+        w = anneal_weights(state)
+        if w is not None:
+            y, new_state = decode(params, state, z * w, train=train, rng=rng)
             new_state = dict(new_state)
-            new_state["anneal_step"] = step + (1 if train else 0)
+            new_state["anneal_step"] = state["anneal_step"] + (1 if train else 0)
             return y, new_state
         return decode(params, state, z, train=train, rng=rng)
 
@@ -193,4 +202,6 @@ def make_hash_mlp(
                           "decoder": decoder, "dim_hidden": dim_hidden,
                           "decode": decode, "encode": encode,
                           "prepare_encode": prepare_encode,
+                          "anneal_weights": anneal_weights,
+                          "level_anneal_steps": level_anneal_steps,
                           "temporal_tv": temporal_tv}, loss_fn=loss_fn)

@@ -30,6 +30,7 @@ from ..infer.grid import flat_index_to_coords
 from ..models.core import Model
 from ..train.losses import get_loss
 from ..train.trainer import (
+    EpochHooks,
     TrainConfig,
     TrainResult,
     flatten_volume_source,
@@ -67,7 +68,12 @@ class DataParallelTrainer:
         self.mesh = mesh
         self.n_devices = mesh.devices.size
 
-    def fit(self, model: Model, coords: np.ndarray, values: np.ndarray, params=None, state=None) -> TrainResult:
+    def fit(self, model: Model, coords: np.ndarray, values: np.ndarray,
+            params=None, state=None, eval_fn=None) -> TrainResult:
+        """``eval_fn(params, state) -> {tag: value}``: periodic eval metrics
+        every ``cfg.eval_every_epochs`` epochs into the scalars JSONL —
+        same semantics as ``Trainer.fit`` (params here are replicated jax
+        arrays, usable directly by any inference path)."""
         cfg = self.config
         n = len(coords)
         ndev = self.n_devices
@@ -143,15 +149,19 @@ class DataParallelTrainer:
         )
         epoch_jit = jax.jit(smap, donate_argnums=(0, 1, 2))
 
+        hooks = EpochHooks(cfg, steps_per_epoch, eval_fn)
+
         all_losses, epoch_times = [], []
         t0 = time.perf_counter()
-        for _ in range(cfg.epochs):
+        for e in range(cfg.epochs):
             key, ek = jax.random.split(key)
             te = time.perf_counter()
             params, state, opt_state, losses = epoch_jit(params, state, opt_state, ek)
             jax.block_until_ready(losses)
             epoch_times.append(time.perf_counter() - te)
             all_losses.append(losses)
+            hooks.after_epoch(e, losses, lambda: params, state, opt_state)
+        hooks.close()
         wall = time.perf_counter() - t0
 
         losses_np = np.concatenate([np.asarray(l) for l in all_losses])
@@ -178,6 +188,7 @@ class DataParallelTrainer:
         value_range=None,
         params=None,
         state=None,
+        eval_fn=None,
     ) -> TrainResult:
         """Out-of-core + data-parallel: ``Trainer.fit_streaming``'s shard
         rotation with each shard ROW-SHARDED over the mesh instead of
@@ -271,6 +282,8 @@ class DataParallelTrainer:
             coords, vals = synth(idx)
             return jax.device_put(coords, rows), jax.device_put(vals, rows)
 
+        hooks = EpochHooks(cfg, steps_per_epoch, eval_fn)
+
         rng = np.random.default_rng(cfg.seed)
         all_losses, epoch_times = [], []
         t0 = time.perf_counter()
@@ -294,6 +307,10 @@ class DataParallelTrainer:
             jax.block_until_ready(epoch_losses[-1])
             epoch_times.append(time.perf_counter() - te)
             all_losses.extend(epoch_losses)
+            hooks.after_epoch(
+                e, np.concatenate([np.asarray(l) for l in epoch_losses]),
+                lambda: params, state, opt_state)
+        hooks.close()
         jax.block_until_ready(params)
         wall = time.perf_counter() - t0
 

@@ -53,7 +53,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..encodings.hashgrid import HashGridEncoding
 from ..models.core import Model
 from ..train.losses import get_loss
-from ..train.trainer import TrainConfig, TrainResult, make_optimizer
+from ..train.trainer import EpochHooks, TrainConfig, TrainResult, make_optimizer
 
 __all__ = [
     "TableShardingPlan",
@@ -343,7 +343,12 @@ class ShardedHashTrainer:
         values: np.ndarray,
         params=None,
         state=None,
+        eval_fn=None,
     ) -> TrainResult:
+        """``eval_fn(params, state) -> {tag: value}``: periodic eval metrics
+        every ``cfg.eval_every_epochs`` epochs, streamed into the scalars
+        JSONL (same semantics as ``Trainer.fit``; the table is un-sharded to
+        full params only on firing epochs)."""
         cfg = self.config
         axis = self.axis
         enc: HashGridEncoding = model.hparams.get("encoder")
@@ -352,6 +357,16 @@ class ShardedHashTrainer:
             raise ValueError(
                 "ShardedHashTrainer requires a make_hash_mlp-style model "
                 "(hparams must expose 'encoder' and 'decode')"
+            )
+        if int(model.hparams.get("level_anneal_steps", 0) or 0) > 0:
+            # The curriculum weighting lives in model.apply, which this
+            # trainer REPLACES with its distributed encode + plain decode;
+            # training would silently skip the anneal and leave anneal_step
+            # at 0, making later model.apply zero every level but the first.
+            raise ValueError(
+                "level_anneal_steps does not compose with ShardedHashTrainer "
+                "(the anneal weighting lives in model.apply, which the "
+                "distributed encode path replaces)"
             )
         temporal_tv = float(model.hparams.get("temporal_tv", 0.0))
         plan = plan_table_sharding(enc, self.ndev)
@@ -478,15 +493,15 @@ class ShardedHashTrainer:
         tab_opt = jax.device_put(tab_opt, jax.tree.map(lambda _: shard_spec, tab_opt))
         dec_opt = jax.device_put(dec_opt, repl)
 
-        logger = None
-        if cfg.log_jsonl:
-            from ..train.scalars import ScalarLogger
-
-            logger = ScalarLogger(cfg.log_jsonl)
-
         def _full_params(shards, dec_params):
             table = unshard_table(np.asarray(jax.device_get(shards)), enc, plan)
             return {"encoder": {"table": jnp.asarray(table)}, **jax.device_get(dec_params)}
+
+        # Shared per-epoch housekeeping (scalars / periodic eval / epoch
+        # checkpoints — train/trainer.py:EpochHooks). params_fn is lazy: the
+        # table is un-sharded only on epochs where an eval or checkpoint
+        # actually fires.
+        hooks = EpochHooks(cfg, steps_per_epoch, eval_fn)
 
         all_losses, epoch_times = [], []
         t0 = time.perf_counter()
@@ -499,21 +514,9 @@ class ShardedHashTrainer:
             jax.block_until_ready(losses)
             epoch_times.append(time.perf_counter() - te)
             all_losses.append(losses)
-            if logger is not None:
-                logger.log_epoch_losses(e, e * steps_per_epoch, np.asarray(losses))
-            if (
-                cfg.checkpoint_dir
-                and cfg.checkpoint_every_epochs > 0
-                and (e + 1) % cfg.checkpoint_every_epochs == 0
-            ):
-                from ..train.checkpoint import save_checkpoint
-
-                save_checkpoint(
-                    cfg.checkpoint_dir, (e + 1) * steps_per_epoch,
-                    _full_params(shards, dec_params), jax.device_get(state),
-                )
-        if logger is not None:
-            logger.close()
+            hooks.after_epoch(
+                e, losses, lambda: _full_params(shards, dec_params), state)
+        hooks.close()
         wall = time.perf_counter() - t0
 
         losses_np = np.concatenate([np.asarray(l) for l in all_losses])

@@ -63,6 +63,7 @@ def plan_run(
     decoder: str = "norm",
     batch_size: int = 10000,
     volume_shape: Optional[Sequence[int]] = None,
+    row_fraction: float = 1.0,   # fraction of voxels kept (--undersample_pct)
     n_devices: int = 1,
     optimizer: str = "adam",
     remat: bool = False,
@@ -113,7 +114,7 @@ def plan_run(
 
     dataset_bytes = None
     if volume_shape is not None:
-        n_vox = int(np.prod(volume_shape))
+        n_vox = int(np.prod(volume_shape) * row_fraction)
         # device-resident (coords f32 dim_in+, values f32): the default
         # Trainer layout (io/volume.py dataset_from_array)
         dataset_bytes = n_vox * (len(volume_shape) + 1) * 4

@@ -319,7 +319,12 @@ def default_interp_families(
 ) -> Dict[str, FamilyFn]:
     """The measured family set for the ankle workload (see RESULTS.md).
     ``include`` restricts to a subset by name (e.g. the 4D protocol drops the
-    second/third warp variants to bound compute)."""
+    second/third warp variants to bound compute).
+
+    ``warp_kwargs`` forwards to every warp-INR family; ``warp_w0`` /
+    ``warp_accel`` override the primary families' defaults (5.0 / 1.0) but
+    NOT ``warp_noaccel``'s — that family is DEFINED by accel off + higher
+    temporal frequency (6.0 / 0.0), its identity in the fusion."""
     base = dict(n_levels=4, n_features_per_level=4, log2_hashmap_size=23,
                 dim_hidden=64, n_layers=2, warp_hidden=64, warp_layers=3,
                 warp_scale=0.05, residual_scale=0.05)
@@ -327,32 +332,29 @@ def default_interp_families(
     spatial = tuple(eval_shape[:-1])
     base.setdefault("base_resolution", tuple(min(64, s) for s in spatial))
     base.setdefault("finest_resolution", spatial)
+    primary = {"warp_w0": base.pop("warp_w0", 5.0),
+               "warp_accel": base.pop("warp_accel", 1.0), **base}
+    noaccel = {"warp_w0": 6.0, "warp_accel": 0.0, **base}
     fams = {
-        "warp": _warp_family(config, seeds, eval_shape,
-                             warp_w0=5.0, warp_accel=1.0, **base),
-        "warp_noaccel": _warp_family(config, seeds, eval_shape,
-                                     warp_w0=6.0, warp_accel=0.0, **base),
+        "warp": _warp_family(config, seeds, eval_shape, **primary),
+        "warp_noaccel": _warp_family(config, seeds, eval_shape, **noaccel),
         "warp_distill": _warp_family(config, seeds, eval_shape, distill=True,
-                                     warp_w0=5.0, warp_accel=1.0, **base),
-        "warp_transfer": _warp_transfer_family(config, seeds,
-                                               warp_w0=5.0, warp_accel=1.0, **base),
+                                     **primary),
+        "warp_transfer": _warp_transfer_family(config, seeds, **primary),
         # same fits again (memo): motion-aligned CUBIC appearance — adds the
         # intensity-curvature modelling of the cubic family on top of the
         # transfer's motion compensation
         "warp_transfer_cubic": _warp_transfer_family(
-            config, seeds, appearance="cubic",
-            warp_w0=5.0, warp_accel=1.0, **base),
+            config, seeds, appearance="cubic", **primary),
         # same fits again: transfer + the INR's contrast-drift correction
         # (residual_field delta; zero at kept times)
         "warp_transfer_res": _warp_transfer_family(
-            config, seeds, use_residual=True,
-            warp_w0=5.0, warp_accel=1.0, **base),
+            config, seeds, use_residual=True, **primary),
         # same fits again: consensus-motion transfer — average the seeds'
         # deformation/residual fields, resample ONCE (motion-space fusion
         # stays sharp where intensity-space fusion blurs on disagreement)
         "warp_transfer_avg": _warp_transfer_family(
-            config, seeds, use_residual=True, average_motion=True,
-            warp_w0=5.0, warp_accel=1.0, **base),
+            config, seeds, use_residual=True, average_motion=True, **primary),
         "registration": _registration_family(),
         "registration_group": _registration_group_family(),
         "registration_cubic": _registration_group_family(appearance="cubic"),

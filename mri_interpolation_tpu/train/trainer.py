@@ -34,7 +34,8 @@ import optax
 from ..models.core import Model
 from .losses import get_loss
 
-__all__ = ["TrainConfig", "TrainResult", "Trainer", "make_optimizer"]
+__all__ = ["TrainConfig", "TrainResult", "Trainer", "make_optimizer",
+           "EpochHooks"]
 
 
 @dataclass
@@ -110,6 +111,58 @@ class TrainResult:
         if steady < 0.2 * mean:
             steady = mean
         return float(steps_per_epoch / max(steady, 1e-9))
+
+
+class EpochHooks:
+    """Per-epoch housekeeping shared by EVERY trainer (single-device,
+    data-parallel, sharded-table): the scalars stream, periodic eval metrics,
+    and epoch-boundary checkpoints. One implementation so no launch path
+    silently drops a flag (``--eval_every_epochs`` was a no-op under
+    ``--data_parallel`` / ``--shard_tables`` before this existed).
+
+    ``after_epoch``'s ``params_fn`` is LAZY: it materializes
+    eval/checkpoint-ready params (e.g. un-sharding a distributed hash table,
+    device_get-ing a replica) only on epochs where an eval or checkpoint
+    actually fires — the common epoch costs one predicate check.
+    """
+
+    def __init__(self, cfg: TrainConfig, steps_per_epoch: int,
+                 eval_fn: Optional[Callable] = None):
+        self.cfg = cfg
+        self.steps_per_epoch = steps_per_epoch
+        self.eval_fn = eval_fn
+        self.logger = None
+        if cfg.log_jsonl:
+            from .scalars import ScalarLogger
+
+            self.logger = ScalarLogger(cfg.log_jsonl)
+
+    def after_epoch(self, e: int, losses, params_fn: Callable[[], Any],
+                    state, opt_state=None) -> None:
+        cfg, spe = self.cfg, self.steps_per_epoch
+        if self.logger is not None:
+            self.logger.log_epoch_losses(e, e * spe, np.asarray(losses))
+        if (
+            self.eval_fn is not None
+            and self.logger is not None
+            and cfg.eval_every_epochs > 0
+            and (e + 1) % cfg.eval_every_epochs == 0
+        ):
+            for tag, value in self.eval_fn(params_fn(), state).items():
+                self.logger.log((e + 1) * spe, tag, float(value), epoch=e)
+        if (
+            cfg.checkpoint_dir
+            and cfg.checkpoint_every_epochs > 0
+            and (e + 1) % cfg.checkpoint_every_epochs == 0
+        ):
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(cfg.checkpoint_dir, (e + 1) * spe, params_fn(),
+                            state, opt_state)
+
+    def close(self) -> None:
+        if self.logger is not None:
+            self.logger.close()
 
 
 def make_optimizer(cfg: TrainConfig, n_steps_per_epoch: int = 1):
@@ -304,11 +357,7 @@ class Trainer:
         donate_argnums = (0, 1, 2) if donate else ()
         epoch_jit = jax.jit(epoch_fn, donate_argnums=donate_argnums)
 
-        logger = None
-        if cfg.log_jsonl:
-            from .scalars import ScalarLogger
-
-            logger = ScalarLogger(cfg.log_jsonl)
+        hooks = EpochHooks(cfg, steps_per_epoch, eval_fn)
 
         all_losses = []
         epoch_times = []
@@ -320,26 +369,8 @@ class Trainer:
             jax.block_until_ready(losses)
             epoch_times.append(time.perf_counter() - te)
             all_losses.append(losses)
-            if logger is not None:
-                logger.log_epoch_losses(e, e * steps_per_epoch, np.asarray(losses))
-            if (
-                eval_fn is not None
-                and logger is not None
-                and cfg.eval_every_epochs > 0
-                and (e + 1) % cfg.eval_every_epochs == 0
-            ):
-                for tag, value in eval_fn(params, state).items():
-                    logger.log((e + 1) * steps_per_epoch, tag, float(value), epoch=e)
-            if (
-                cfg.checkpoint_dir
-                and cfg.checkpoint_every_epochs > 0
-                and (e + 1) % cfg.checkpoint_every_epochs == 0
-            ):
-                from .checkpoint import save_checkpoint
-
-                save_checkpoint(cfg.checkpoint_dir, (e + 1) * steps_per_epoch, params, state, opt_state)
-        if logger is not None:
-            logger.close()
+            hooks.after_epoch(e, losses, lambda: params, state, opt_state)
+        hooks.close()
         jax.block_until_ready(params)
         wall = time.perf_counter() - t0
 
@@ -447,11 +478,7 @@ class Trainer:
             coords, vals = synth(idx)
             return jax.device_put(coords), jax.device_put(vals)
 
-        logger = None
-        if cfg.log_jsonl:
-            from .scalars import ScalarLogger
-
-            logger = ScalarLogger(cfg.log_jsonl)
+        hooks = EpochHooks(cfg, steps_per_epoch, eval_fn)
 
         rng = np.random.default_rng(cfg.seed)
         all_losses, epoch_times = [], []
@@ -476,28 +503,10 @@ class Trainer:
             jax.block_until_ready(epoch_losses[-1])
             epoch_times.append(time.perf_counter() - te)
             all_losses.extend(epoch_losses)
-            if logger is not None:
-                logger.log_epoch_losses(
-                    e, e * steps_per_epoch,
-                    np.concatenate([np.asarray(l) for l in epoch_losses]))
-            if (
-                eval_fn is not None
-                and logger is not None
-                and cfg.eval_every_epochs > 0
-                and (e + 1) % cfg.eval_every_epochs == 0
-            ):
-                for tag, value in eval_fn(params, state).items():
-                    logger.log((e + 1) * steps_per_epoch, tag, float(value), epoch=e)
-            if (
-                cfg.checkpoint_dir
-                and cfg.checkpoint_every_epochs > 0
-                and (e + 1) % cfg.checkpoint_every_epochs == 0
-            ):
-                from .checkpoint import save_checkpoint
-
-                save_checkpoint(cfg.checkpoint_dir, (e + 1) * steps_per_epoch, params, state, opt_state)
-        if logger is not None:
-            logger.close()
+            hooks.after_epoch(
+                e, np.concatenate([np.asarray(l) for l in epoch_losses]),
+                lambda: params, state, opt_state)
+        hooks.close()
         jax.block_until_ready(params)
         wall = time.perf_counter() - t0
 

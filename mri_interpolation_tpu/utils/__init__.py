@@ -6,7 +6,36 @@ import os
 
 import jax
 
-__all__ = ["setup_compilation_cache", "enable_nan_debugging", "capture_trace", "time_fn"]
+__all__ = ["setup_compilation_cache", "enable_nan_debugging", "capture_trace",
+           "time_fn", "device_count_nonblocking"]
+
+
+def device_count_nonblocking(timeout_s: float = 60.0) -> int:
+    """``len(jax.devices())`` behind a watchdog thread.
+
+    Enumerating the axon TPU tunnel BLOCKS indefinitely when the tunnel is
+    down (observed in this environment), and the driver-facing entry points
+    (bench.py, __graft_entry__.dryrun_multichip) must degrade instead of
+    hanging. Returns 0 when enumeration hangs past ``timeout_s`` or raises —
+    callers treat that as "no usable devices" and take their CPU-fallback
+    path, which pins the CPU platform and never touches the tunnel. The one
+    shared implementation of this workaround: tune timeouts or add failure
+    modes HERE, not in the entry points.
+    """
+    import threading
+
+    out: list = []
+
+    def probe():
+        try:
+            out.append(len(jax.devices()))
+        except Exception:
+            out.append(0)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return out[0] if out else 0
 
 
 def setup_compilation_cache(cache_dir: str = "/root/.cache/jax_comp", min_compile_secs: float = 1.0) -> None:

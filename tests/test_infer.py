@@ -305,3 +305,56 @@ class TestU16Transport:
         params, state = model.init(jax.random.key(0))
         with pytest.raises(ValueError, match="transport"):
             evaluate_grid(model, params, state, (4, 4, 4), transport="f8")
+
+
+class TestAnnealedModelInference:
+    """A level-annealed model evaluated MID-ramp must produce the same output
+    through every inference path as through model.apply — the hoisted
+    encode/decode split paths (evaluate_grid, predict_batched) must reapply
+    the curriculum weighting (hparams['anneal_weights']), or a short run /
+    periodic eval evaluates a different function than the one being trained."""
+
+    def _annealed(self, log2=10, finest=(24, 24, 12)):
+        from mri_interpolation_tpu.models import make_hash_mlp
+
+        return make_hash_mlp(
+            dim_in=3, n_levels=3, n_features_per_level=2,
+            log2_hashmap_size=log2, base_resolution=(4, 4, 2),
+            finest_resolution=finest, dim_hidden=16, n_layers=2,
+            decoder="relu_plain", fused="off", level_anneal_steps=8)
+
+    @pytest.mark.parametrize("step", [0, 3, 8])
+    def test_evaluate_grid_matches_apply_mid_ramp(self, step):
+        model = self._annealed()
+        params, state = model.init(jax.random.key(0))
+        state = dict(state, anneal_step=jnp.asarray(step, jnp.int32))
+        shape = (9, 10, 11)
+        vol = evaluate_grid(model, params, state, shape, chunk_size=128)
+        direct, _ = model.apply(params, state, jnp.asarray(flat_coords(shape)),
+                                train=False, rng=None)
+        np.testing.assert_allclose(vol.reshape(-1, 1), np.asarray(direct), atol=1e-6)
+
+    def test_grid_fast_path_matches_apply_mid_ramp(self):
+        # all-dense config -> the separable grid path; weighting must apply
+        # there too (it decodes hoisted whole-grid features)
+        model = self._annealed(log2=14, finest=(12, 12, 6))
+        enc = model.hparams["encoder"]
+        if not getattr(enc, "supports_grid_path", lambda: False)():
+            pytest.skip("config did not select the all-dense grid path")
+        params, state = model.init(jax.random.key(1))
+        state = dict(state, anneal_step=jnp.asarray(2, jnp.int32))
+        shape = (12, 12, 6)
+        vol = evaluate_grid(model, params, state, shape, chunk_size=256)
+        direct, _ = model.apply(params, state, jnp.asarray(flat_coords(shape)),
+                                train=False, rng=None)
+        np.testing.assert_allclose(vol.reshape(-1, 1), np.asarray(direct), atol=1e-5)
+
+    def test_predict_batched_matches_apply_mid_ramp(self):
+        model = self._annealed()
+        params, state = model.init(jax.random.key(2))
+        state = dict(state, anneal_step=jnp.asarray(5, jnp.int32))
+        coords = flat_coords((7, 7, 6))
+        got = predict_batched(model, params, state, coords, chunk_size=100)
+        direct, _ = model.apply(params, state, jnp.asarray(coords),
+                                train=False, rng=None)
+        np.testing.assert_allclose(got, np.asarray(direct), atol=1e-6)

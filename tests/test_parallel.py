@@ -139,3 +139,30 @@ class TestDataParallelStreaming:
             make(), vol, shard_voxels=400)
         assert r1.losses.shape == r8.losses.shape
         np.testing.assert_allclose(r1.losses, r8.losses, rtol=2e-2, atol=1e-4)
+
+
+class TestDataParallelHooks:
+    def test_eval_fn_streams_psnr(self, mesh8, ds, tmp_path):
+        """--eval_every_epochs parity on the data-parallel path (it was a
+        silent no-op before the shared EpochHooks): psnr records land in
+        scalars.jsonl exactly as under the single-device Trainer."""
+        from mri_interpolation_tpu.train import read_scalars
+
+        log = str(tmp_path / "scalars.jsonl")
+        cfg = TrainConfig(batch_size=512, epochs=3, lr=1e-3, seed=0,
+                          log_jsonl=log, eval_every_epochs=2)
+        model = make_siren(dim_in=3, dim_hidden=8, n_layers=2)
+        calls = []
+
+        def eval_fn(params, state):
+            # replicated params must drive plain apply directly
+            y, _ = model.apply(params, state, jnp.asarray(ds.coords[:64]),
+                               train=False, rng=None)
+            calls.append(1)
+            return {"psnr": float(np.mean(np.asarray(y)))}
+
+        DataParallelTrainer(cfg, mesh=mesh8).fit(model, ds.coords, ds.values,
+                                                 eval_fn=eval_fn)
+        recs = read_scalars(log, tag="psnr")
+        assert len(recs) == 1 == len(calls)
+        assert np.isfinite(recs[0]["value"])

@@ -101,3 +101,25 @@ def test_launcher_plan_flag(tmp_path, capsys):
     assert out["bytes"]["dataset"] == 16 * 16 * 4 * 5 * 5 * 4
     assert out["sharding"]["n_devices"] == 4
     assert out["recommendations"]
+
+
+def test_launcher_plan_respects_slice_and_protocol_flags(tmp_path, capsys):
+    """--plan must size the run the SAME flags execute: slice_z drops the z
+    axis, even_frames_only halves the t axis, undersample_pct scales the
+    dataset rows (the planner previously sized the on-disk header shape)."""
+    from mri_interpolation_tpu.io import nifti, synthetic_volume
+    from mri_interpolation_tpu.launcher import main
+
+    p = str(tmp_path / "vol.nii.gz")
+    nifti.save(synthetic_volume((16, 16, 4, 6), seed=1), p)
+    main(["--image_path", p, "--model_class", "hash_mlp", "--plan",
+          "--slice_z", "2", "--even_frames_only", "true"])
+    out = json.loads(capsys.readouterr().out)
+    # (16,16,6) slice, even frames -> (16,16,3); dim_in 3, coords+value = 4 f32
+    assert all(len(l["resolution"]) == 3 for l in out["levels"])
+    assert out["bytes"]["dataset"] == 16 * 16 * 3 * 4 * 4
+
+    main(["--image_path", p, "--model_class", "hash_mlp", "--plan",
+          "--slice_z", "2", "--undersample_pct", "50"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["bytes"]["dataset"] == int(16 * 16 * 6 * 0.5) * 4 * 4

@@ -234,3 +234,52 @@ class TestShardedTableInference:
                                           res.state, shape, chunk_size=128)
         want = evaluate_grid(model, res.params, res.state, shape, chunk_size=128)
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestHooksAndGuards:
+    def test_rejects_level_annealed_model(self, mesh8):
+        """The anneal weighting lives in model.apply, which the distributed
+        encode replaces — training must refuse, not silently skip the
+        curriculum and leave anneal_step at 0 (which would zero every level
+        but the first in later model.apply calls)."""
+        from mri_interpolation_tpu.models import make_hash_mlp
+
+        model = make_hash_mlp(
+            dim_in=3, n_levels=2, n_features_per_level=2, log2_hashmap_size=10,
+            base_resolution=(4, 4, 2), finest_resolution=(16, 16, 8),
+            dim_hidden=16, n_layers=2, decoder="relu_plain", fused="off",
+            level_anneal_steps=50)
+        ds = dataset_from_array(synthetic_volume((10, 10, 6), seed=1))
+        with pytest.raises(ValueError, match="level_anneal"):
+            ShardedHashTrainer(TrainConfig(batch_size=120, epochs=1),
+                               mesh=mesh8).fit(model, ds.coords, ds.values)
+
+    def test_eval_fn_streams_psnr(self, mesh8, tmp_path):
+        """--eval_every_epochs parity on the sharded path: the hook fires on
+        un-sharded full params usable by any inference path."""
+        from mri_interpolation_tpu.infer import predict_batched
+        from mri_interpolation_tpu.train import read_scalars
+
+        ds = dataset_from_array(synthetic_volume((12, 12, 8), seed=2))
+        log = str(tmp_path / "scalars.jsonl")
+        cfg = TrainConfig(batch_size=288, epochs=2, lr=2e-3, seed=0,
+                          log_jsonl=log, eval_every_epochs=1)
+        model = make_hash_mlp(
+            dim_in=3, n_levels=2, n_features_per_level=2, log2_hashmap_size=10,
+            base_resolution=(4, 4, 2), finest_resolution=(16, 16, 8),
+            dim_hidden=16, n_layers=2, decoder="relu_plain", fused="off")
+        calls = []
+
+        def eval_fn(params, state):
+            # full (un-sharded) params must drive the standard inference path
+            y = predict_batched(model, params, state, ds.coords[:128],
+                                chunk_size=128)
+            calls.append(1)
+            mse = float(np.mean((y - np.asarray(ds.values[:128])) ** 2))
+            return {"psnr": 10.0 * np.log10(1.0 / max(mse, 1e-12))}
+
+        ShardedHashTrainer(cfg, mesh=mesh8).fit(model, ds.coords, ds.values,
+                                                eval_fn=eval_fn)
+        recs = read_scalars(log, tag="psnr")
+        assert len(recs) == 2 == len(calls)
+        assert all(np.isfinite(r["value"]) for r in recs)

@@ -380,3 +380,14 @@ def test_warp_transfer_avg_in_default_families():
 
     fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9))
     assert "warp_transfer_avg" in fams
+
+
+def test_default_families_accept_w0_accel_passthrough():
+    """The documented **warp_kwargs passthrough must accept warp_w0 /
+    warp_accel (previously a 'multiple values for keyword' TypeError that
+    crashed the protocol before any fit)."""
+    from mri_interpolation_tpu.train.stacking import default_interp_families
+
+    fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9),
+                                   warp_w0=4.0, warp_accel=2.0)
+    assert "warp" in fams and "warp_noaccel" in fams

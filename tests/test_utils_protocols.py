@@ -146,6 +146,19 @@ class TestClassicalCli:
         img = nifti.load(out)
         assert img.shape == (10, 10, 6)
 
+    def test_all_frames_mode_rejects_non_linear_methods(self, tmp_path):
+        """--no-even_frames resamples onto the SAME grid; it must refuse
+        other --method values instead of silently running linear under
+        their name (mislabeled output)."""
+        from mri_interpolation_tpu.infer import classical
+        from mri_interpolation_tpu.io import nifti
+
+        src = str(tmp_path / "v.nii.gz")
+        nifti.save(synthetic_volume((8, 8, 4, 6)), src)
+        with pytest.raises(SystemExit):
+            classical.main([src, "--out", str(tmp_path / "o.nii.gz"),
+                            "--no-even_frames", "--method", "registration"])
+
 
 class TestProfiling:
     def test_capture_trace_writes_artifact(self, tmp_path):
