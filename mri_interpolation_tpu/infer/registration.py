@@ -28,6 +28,8 @@ or 3-D volumes) compose without unit juggling.
 
 from __future__ import annotations
 
+import functools
+import os
 from functools import partial
 from typing import Sequence
 
@@ -48,6 +50,31 @@ __all__ = [
     "group_synthesize_at",
     "motion_transfer_at",
 ]
+
+
+def _pinnable(fn):
+    """Run a registration solver on the device named by ``MRI_TPU_REG_DEVICE``
+    (e.g. ``cpu``), falling through to the process default when unset.
+
+    Escape hatch for a platform bug observed on the axon TPU stack: the
+    worker reproducibly dies with a "kernel fault" inside the group
+    trajectory synthesis on the full (352,352,6) 4D ankle volume (the
+    pairwise solver and every INR path run fine). The classical solvers are
+    self-contained (numpy in / numpy-sized out), so pinning them to the host
+    CPU backend sidesteps the fault without moving any other work off the
+    TPU. Read per call, so one process can mix pinned protocol stages with
+    TPU training.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        name = os.environ.get("MRI_TPU_REG_DEVICE", "")
+        if not name:
+            return fn(*args, **kwargs)
+        with jax.default_device(jax.devices(name)[0]):
+            return fn(*args, **kwargs)
+
+    return wrapper
 
 
 def _field_to_grid(ctrl: jnp.ndarray, shape: Sequence[int]) -> jnp.ndarray:
@@ -120,6 +147,7 @@ def _register_stage(a, b, ctrl0, lr, smooth, steps: int):
     return ctrl, losses
 
 
+@_pinnable
 def register_pair(
     frame_a: np.ndarray,
     frame_b: np.ndarray,
@@ -160,6 +188,7 @@ def register_pair(
     return ctrl
 
 
+@_pinnable
 def synthesize_frame(
     frame_a: np.ndarray,
     frame_b: np.ndarray,
@@ -182,6 +211,7 @@ def synthesize_frame(
     return (1.0 - tau) * fa + tau * fb
 
 
+@_pinnable
 def synthesize_frame_accel(
     frame_a: np.ndarray,
     frame_b: np.ndarray,
@@ -269,6 +299,7 @@ def _register_group_stage(frames, ctrl0, lr, smooth_s, smooth_t, steps: int,
     return ctrl, losses
 
 
+@_pinnable
 def register_group_temporal(
     even: np.ndarray,
     ctrl_sizes: Sequence[int] = (8, 16, 32),
@@ -324,6 +355,7 @@ def _catmull_mid(p0, p1, p2, p3):
     return (-p0 + 9.0 * p1 + 9.0 * p2 - p3) / 16.0
 
 
+@_pinnable
 def group_motion_upsample(
     even: np.ndarray,
     t_full: int,
@@ -370,6 +402,7 @@ def group_motion_upsample(
     return out
 
 
+@_pinnable
 def group_synthesize_at(
     frames: np.ndarray,
     t_knots: Sequence[float],
@@ -452,6 +485,7 @@ def group_synthesize_at(
     return np.stack(out, axis=-1)
 
 
+@_pinnable
 def register_even_frames(even: np.ndarray, **kwargs) -> list:
     """Register each consecutive pair of an (spatial..., T_even) stack."""
     T = even.shape[-1]
@@ -461,6 +495,7 @@ def register_even_frames(even: np.ndarray, **kwargs) -> list:
     ]
 
 
+@_pinnable
 def motion_compensated_upsample(
     even: np.ndarray,
     t_full: int,

@@ -417,3 +417,30 @@ def test_warp_transfer_res_in_default_families():
 
     fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9))
     assert "warp_transfer_res" in fams
+
+
+def test_registration_device_pin(monkeypatch):
+    """MRI_TPU_REG_DEVICE pins the classical solvers' computation to the
+    named backend (the axon-TPU group-synthesis kernel-fault escape hatch);
+    results must match the unpinned run on the same backend."""
+    import jax
+
+    from mri_interpolation_tpu.infer.registration import (
+        group_synthesize_at,
+        register_pair,
+        synthesize_frame,
+    )
+
+    frames = np.stack([_blob((16, 16), (0.35, 0.5)),
+                       _blob((16, 16), (0.45, 0.5)),
+                       _blob((16, 16), (0.55, 0.5))], axis=-1)
+    t_keep = np.asarray([0.0, 0.5, 1.0])
+    base = group_synthesize_at(frames, t_keep, [0.25], steps=20)
+    monkeypatch.setenv("MRI_TPU_REG_DEVICE", "cpu")
+    pinned = group_synthesize_at(frames, t_keep, [0.25], steps=20)
+    np.testing.assert_allclose(np.asarray(pinned), np.asarray(base), atol=1e-6)
+    ctrl = register_pair(frames[..., 0], frames[..., 2], steps=10)
+    out = synthesize_frame(frames[..., 0], frames[..., 2], ctrl)
+    # pinned solvers place their outputs on the named backend
+    arr = out if hasattr(out, "devices") else jax.numpy.asarray(out)
+    assert {d.platform for d in arr.devices()} == {"cpu"}
