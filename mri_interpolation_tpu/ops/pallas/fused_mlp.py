@@ -22,11 +22,14 @@ Gated by equivalence tests against the plain-JAX oracle
 (models/siren._siren_forward) in tests/test_pallas.py.
 
 ENVIRONMENT NOTE: this build environment reaches its TPU through the
-experimental 'axon' tunnel, which does NOT execute Mosaic/Pallas kernels
-(even a trivial kernel hangs at launch — probed 2026-08-16). The kernels are
-therefore validated in interpreter mode and shipped opt-in behind
-``pallas_supported()``; on a standard TPU VM (jax 'tpu' platform) they compile
-and run. The XLA paths remain the default production path.
+experimental 'axon' tunnel. When probed 2026-08-16 it did NOT execute
+Mosaic/Pallas kernels (launches hung); re-probed 2026-08-19 the stack
+EXECUTES them, and hardware parity + timings are recorded by
+scripts/bench_pallas_exec.py in runs/pallas_exec_status.json. The kernels
+remain opt-in behind ``pallas_supported()`` because the MEASURED timings put
+XLA's own fusion ahead on this chip (see the artifact) — the fused kernels
+exist for environments/configs where hand-fusion wins, and the tests gate
+their semantics against the plain-JAX oracles either way.
 """
 
 from __future__ import annotations

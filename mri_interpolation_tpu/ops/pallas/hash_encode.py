@@ -26,10 +26,12 @@ Geometry (resolutions, sizes, offsets, dense/hashed dispatch, strides) is
 compile-time static, baked from the ``HashGridEncoding`` instance so kernel
 and oracle share one source of truth.
 
-ENVIRONMENT NOTE: the 'axon' TPU tunnel in this build environment does not
-execute Mosaic/Pallas kernels; kernels are validated in interpreter mode
-against the XLA oracle (tests/test_pallas.py) and gated behind
-``pallas_supported()``.
+ENVIRONMENT NOTE: the 'axon' TPU tunnel did not execute Mosaic/Pallas
+kernels when probed 2026-08-16; re-probed 2026-08-19 it EXECUTES them.
+The one-hot coarse kernels are now validated ON HARDWARE — forward parity
+5e-7, table-gradient parity 3e-6 vs the XLA oracle, timings in
+runs/pallas_exec_status.json (scripts/bench_pallas_exec.py). Interpreter-mode
+oracle tests (tests/test_pallas.py) still gate semantics on CPU.
 
 LOWERING STATUS (re-probed 2026-08-17, scripts/probe_pallas_compile.py ->
 runs/pallas_compile_status.json): the fused MLP kernels AND the one-hot
@@ -38,8 +40,9 @@ only) lower and compile for TPU on current Mosaic — forward and backward.
 The gather-based kernels in this module still fail ("Cannot do int indexing
 on TPU": no vector gather/scatter lowering), so their compiled path waits on
 a Mosaic with ``dynamic_gather``; re-run the probe after any jax upgrade.
-``pallas_supported()`` keeps the XLA path in charge at runtime (the axon
-tunnel does not execute Mosaic kernels).
+``pallas_supported()`` keeps the XLA path in charge at runtime: the MEASURED
+timings (pallas_exec_status.json) put XLA's fusion ahead on every row on
+this chip (0.6-0.9x forward, 0.4x backward), so hand-fusion is opt-in.
 """
 
 from __future__ import annotations
