@@ -22,6 +22,8 @@ predictor FAMILIES with decorrelated errors:
                     fields are averaged pointwise and ONE transfer runs
                     along the mean motion (+ residual correction) — sharper
                     than averaging four independently-resampled intensities
+- ``warp_transfer_res_cubic``  cubic appearance + residual drift correction
+                    combined (each refinement measured separately first)
 - ``registration``  pairwise symmetric registration midpoint
                     (infer/registration.py) — data-space appearance
 - ``registration_group``  group temporal registration: one coherent motion
@@ -355,6 +357,10 @@ def default_interp_families(
         # stays sharp where intensity-space fusion blurs on disagreement)
         "warp_transfer_avg": _warp_transfer_family(
             config, seeds, use_residual=True, average_motion=True, **primary),
+        # same fits again: cubic appearance + residual drift correction —
+        # the two independently-measured transfer refinements combined
+        "warp_transfer_res_cubic": _warp_transfer_family(
+            config, seeds, use_residual=True, appearance="cubic", **primary),
         "registration": _registration_family(),
         "registration_group": _registration_group_family(),
         "registration_cubic": _registration_group_family(appearance="cubic"),
