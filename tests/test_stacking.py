@@ -382,6 +382,13 @@ def test_warp_transfer_avg_in_default_families():
     assert "warp_transfer_avg" in fams
 
 
+def test_warp_transfer_res_cubic_in_default_families():
+    from mri_interpolation_tpu.train.stacking import default_interp_families
+
+    fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9))
+    assert "warp_transfer_res_cubic" in fams
+
+
 def test_default_families_accept_w0_accel_passthrough():
     """The documented **warp_kwargs passthrough must accept warp_w0 /
     warp_accel (previously a 'multiple values for keyword' TypeError that
