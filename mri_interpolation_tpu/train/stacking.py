@@ -10,6 +10,12 @@ predictor FAMILIES with decorrelated errors:
                     motion extrema, worse elsewhere
 - ``warp_distill``  warp-INR ensemble trained WITH pseudo-labels at the
                     unobserved times from the registration teacher
+- ``warp_distill_fused``  second-generation distill: same mechanism, but the
+                    pseudo-label teacher is the equal-weight fusion of the
+                    transfer/group-registration/cubic families (~1 dB better
+                    anchor than the pairwise registration teacher; the
+                    transfer member reuses the warp fits, so the teacher
+                    costs inference only)
 - ``warp_transfer`` the warp-INR's MOTION applied to the observed frames'
                     APPEARANCE (infer/registration.py:motion_transfer_at) —
                     not capped by the INR's own reconstruction error
@@ -146,12 +152,48 @@ def _coords_for_frames(spatial_shape, t_vals):
         for t in t_vals])
 
 
+def _fused_teacher_family(config: TrainConfig, seeds: Sequence[int],
+                          **warp_kwargs) -> FamilyFn:
+    """Equal-weight fusion of three decorrelated predictors — the
+    motion-transfer family (INR motion + data appearance + residual drift
+    correction), the group temporal registration, and the intensity-space
+    cubic Hermite. Used as the pseudo-label TEACHER for the
+    second-generation distill family (``warp_distill_fused``): on the ankle
+    protocol each member scores ~24.7-26.0 held-out vs the pairwise
+    registration teacher's 25.0, and their errors decorrelate, so the plain
+    average is a materially better anchor at the unobserved mid-times.
+
+    Self-contained: everything is computed from the (train_frames, t_keep)
+    the family is called with, so LOO-fold honesty is preserved by
+    construction (no weights learned anywhere). The transfer member reuses
+    the ``warp`` family's fits through the fit memo / disk cache, so inside
+    a protocol run this teacher costs inference only."""
+    transfer = _warp_transfer_family(config, seeds, use_residual=True,
+                                     **warp_kwargs)
+    group = _registration_group_family()
+    cubic = _cubic_family()
+
+    def family(train_frames, t_keep, t_eval):
+        preds = [f(train_frames, t_keep, t_eval)
+                 for f in (transfer, group, cubic)]
+        return np.mean(preds, axis=0)
+
+    return family
+
+
 def _warp_family(config: TrainConfig, seeds: Sequence[int], eval_shape,
                  distill: bool = False, distill_ratio: float = 0.25,
+                 distill_teacher: str = "registration",
                  **warp_kwargs) -> FamilyFn:
     """Seed-ensembled warp-INR family. ``eval_shape`` is the full-volume
     shape whose last axis defines the t grid the INR is evaluated on
-    (t_eval values must lie on it)."""
+    (t_eval values must lie on it).
+
+    ``distill_teacher`` selects the pseudo-label source when ``distill``:
+    ``"registration"`` (pairwise symmetric registration midpoints — the
+    first-generation family) or ``"fused"`` (the equal-weight
+    transfer/group-registration/cubic fusion — a ~1 dB better anchor on the
+    ankle protocol; see ``_fused_teacher_family``)."""
     from ..infer import evaluate_grid
 
     t_n = eval_shape[-1]
@@ -161,7 +203,9 @@ def _warp_family(config: TrainConfig, seeds: Sequence[int], eval_shape,
         coords = _coords_for_frames(spatial, t_keep)
         values = np.moveaxis(train_frames, -1, 0).reshape(-1, 1)
         if distill:
-            teacher = _registration_family()
+            teacher = (_fused_teacher_family(config, seeds, **warp_kwargs)
+                       if distill_teacher == "fused"
+                       else _registration_family())
             mids = 0.5 * (np.asarray(t_keep[:-1]) + np.asarray(t_keep[1:]))
             ps_pred = teacher(train_frames, t_keep, mids)
             ps_c = _coords_for_frames(spatial, mids)
@@ -342,6 +386,15 @@ def default_interp_families(
         "warp_noaccel": _warp_family(config, seeds, eval_shape, **noaccel),
         "warp_distill": _warp_family(config, seeds, eval_shape, distill=True,
                                      **primary),
+        # second-generation distill: pseudo-labels from the equal-weight
+        # transfer/group/cubic fusion instead of the pairwise registration
+        # (a ~1 dB better teacher at the unobserved mid-times); new fits
+        # (the pseudo-labels change the training bytes), but the teacher
+        # itself reuses the warp fits through the memo
+        "warp_distill_fused": _warp_family(config, seeds, eval_shape,
+                                           distill=True,
+                                           distill_teacher="fused",
+                                           **primary),
         "warp_transfer": _warp_transfer_family(config, seeds, **primary),
         # same fits again (memo): motion-aligned CUBIC appearance — adds the
         # intensity-curvature modelling of the cubic family on top of the

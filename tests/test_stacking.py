@@ -389,6 +389,64 @@ def test_warp_transfer_res_cubic_in_default_families():
     assert "warp_transfer_res_cubic" in fams
 
 
+def test_warp_distill_fused_in_default_families():
+    from mri_interpolation_tpu.train.stacking import default_interp_families
+
+    fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9))
+    assert "warp_distill_fused" in fams
+
+
+def test_fused_teacher_is_mean_of_members_and_reuses_fits(monkeypatch):
+    """The second-generation distill teacher must (a) equal the pointwise
+    mean of its three member families and (b) reuse the warp fits through
+    the memo — distilling must cost exactly len(seeds) NEW fits (the
+    pseudo-labels change the training bytes), never a second teacher
+    ensemble."""
+    import mri_interpolation_tpu.train.stacking as stk
+    from mri_interpolation_tpu.train.trainer import Trainer
+
+    stk._FIT_MEMO.clear()
+    calls = {"n": 0}
+    orig_fit = Trainer.fit
+
+    def counting_fit(self, *a, **k):
+        calls["n"] += 1
+        return orig_fit(self, *a, **k)
+
+    monkeypatch.setattr(Trainer, "fit", counting_fit)
+
+    rng = np.random.default_rng(5)
+    img = rng.random((8, 8, 5), dtype=np.float32)
+    even = img[..., ::2]
+    t_keep = np.asarray([0.0, 0.5, 1.0])
+    t_eval = np.asarray([0.25, 0.75])
+    cfg = TrainConfig(batch_size=64, epochs=1, lr=1e-2)
+    kw = dict(n_levels=2, n_features_per_level=1, log2_hashmap_size=8,
+              base_resolution=(4, 4), finest_resolution=(8, 8),
+              warp_hidden=8, warp_layers=2, dim_hidden=8, n_layers=2,
+              warp_w0=5.0, warp_accel=1.0, warp_scale=0.05)
+    seeds = (0, 1)
+    teacher = stk._fused_teacher_family(cfg, seeds, **kw)
+    got = teacher(even, t_keep, t_eval)
+    assert calls["n"] == len(seeds)              # one transfer ensemble
+    members = [
+        stk._warp_transfer_family(cfg, seeds, use_residual=True, **kw),
+        stk._registration_group_family(),
+        stk._cubic_family(),
+    ]
+    want = np.mean([m(even, t_keep, t_eval) for m in members], axis=0)
+    assert calls["n"] == len(seeds)              # memo hit, no refits
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+    distilled = stk._warp_family(cfg, seeds, (8, 8, 5), distill=True,
+                                 distill_teacher="fused", **kw)
+    distilled(even, t_keep, t_eval)
+    # exactly len(seeds) new fits (pseudo-labeled data); the teacher inside
+    # reused the cached transfer fits
+    assert calls["n"] == 2 * len(seeds)
+    stk._FIT_MEMO.clear()
+
+
 def test_default_families_accept_w0_accel_passthrough():
     """The documented **warp_kwargs passthrough must accept warp_w0 /
     warp_accel (previously a 'multiple values for keyword' TypeError that
