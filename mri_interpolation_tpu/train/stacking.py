@@ -12,10 +12,11 @@ predictor FAMILIES with decorrelated errors:
                     unobserved times from the registration teacher
 - ``warp_distill_fused``  second-generation distill: same mechanism, but the
                     pseudo-label teacher is the equal-weight fusion of the
-                    transfer/group-registration/cubic families (~1 dB better
-                    anchor than the pairwise registration teacher; the
-                    transfer member reuses the warp fits, so the teacher
-                    costs inference only)
+                    transfer/group-registration/cubic families (+0.54 dB
+                    better anchor than the pairwise registration teacher at
+                    the LOO fold positions; the transfer member reuses the
+                    warp fits, so the teacher costs inference only). Best
+                    single family measured: 26.22 dB held-out (RESULTS.md)
 - ``warp_transfer`` the warp-INR's MOTION applied to the observed frames'
                     APPEARANCE (infer/registration.py:motion_transfer_at) —
                     not capped by the INR's own reconstruction error
@@ -192,8 +193,9 @@ def _warp_family(config: TrainConfig, seeds: Sequence[int], eval_shape,
     ``distill_teacher`` selects the pseudo-label source when ``distill``:
     ``"registration"`` (pairwise symmetric registration midpoints — the
     first-generation family) or ``"fused"`` (the equal-weight
-    transfer/group-registration/cubic fusion — a ~1 dB better anchor on the
-    ankle protocol; see ``_fused_teacher_family``)."""
+    transfer/group-registration/cubic fusion — measured +0.54 dB better at
+    the LOO fold positions on the ankle protocol; see
+    ``_fused_teacher_family``)."""
     from ..infer import evaluate_grid
 
     t_n = eval_shape[-1]
@@ -388,7 +390,7 @@ def default_interp_families(
                                      **primary),
         # second-generation distill: pseudo-labels from the equal-weight
         # transfer/group/cubic fusion instead of the pairwise registration
-        # (a ~1 dB better teacher at the unobserved mid-times); new fits
+        # (measured +0.54 dB better teacher at the fold positions); new fits
         # (the pseudo-labels change the training bytes), but the teacher
         # itself reuses the warp fits through the memo
         "warp_distill_fused": _warp_family(config, seeds, eval_shape,
