@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -53,6 +54,52 @@ def _cpu_fallback() -> None:
     cmd = [sys.executable, os.path.join(repo, "bench.py"), "--headline-only"]
     proc = subprocess.run(cmd, cwd=repo, env=env, timeout=3000)
     sys.exit(proc.returncode)
+
+
+def _cached_stacked_row(img, cache="runs/stacked_cache_ep100_anneal"):
+    """Score the LOO-stacked fusion from the git-committed family caches.
+
+    The stacked protocol itself costs ~100 warp-INR fits, far beyond a bench
+    budget — but its family predictions (deploy + LOO folds) are committed
+    under ``runs/stacked_cache_ep100_anneal``, and ``stacked_fuse`` never
+    calls a family whose prediction is cached. Re-solving the honest LOO
+    weights and fusing is therefore CPU-cheap here, which lets the
+    driver-recorded bench carry the framework's actual held-out headline
+    (RESULTS.md protocol table) instead of only the single-model rows.
+    Returns None (row skipped) when the cache is absent or incomplete."""
+    import glob
+
+    from mri_interpolation_tpu.metrics import evaluate_reconstruction
+    from mri_interpolation_tpu.train.stacking import stacked_fuse
+
+    names = sorted(
+        os.path.basename(p)[len("deploy_"):-len(".npy")]
+        for p in glob.glob(os.path.join(cache, "deploy_*.npy")))
+    n_even = (img.shape[-1] + 1) // 2
+    if not names or any(
+            not os.path.exists(os.path.join(cache, f"fold{k}_{n}.npy"))
+            for n in names for k in range(1, n_even - 1)):
+        return None
+
+    def _missing(*_a, **_k):
+        raise AssertionError("cache claimed complete but a family was called")
+
+    even = img[..., ::2]
+    t_full = img.shape[-1]
+    t_keep = np.asarray([2 * j / (t_full - 1) for j in range(even.shape[-1])])
+    t_odd = np.asarray([(2 * j + 1) / (t_full - 1) for j in range(t_full // 2)])
+    fused, weights = stacked_fuse(even, t_keep, t_odd,
+                                  {n: _missing for n in names},
+                                  cache_dir=cache)
+    weights.pop("_components", None)
+    import jax.numpy as jnp
+
+    q = evaluate_reconstruction(jnp.asarray(fused),
+                                jnp.asarray(img[..., 1::2]), data_range=1.0)
+    return {"odd_psnr_db_stacked": round(q["psnr"], 2),
+            "odd_ssim_stacked": round(q.get("ssim", float("nan")), 4),
+            "stacked_n_families": len(names),
+            "stacked_source": cache}
 
 
 def main(argv=None):
@@ -243,6 +290,12 @@ def main(argv=None):
             "odd_ssim_linear": round(lin_q.get("ssim", float("nan")), 4),
             "warp_epochs": warp_epochs,
         })
+
+        # full stacked-fusion headline from the committed family caches
+        # (fit-free, CPU-cheap; None when the artifacts are absent)
+        stacked_row = _cached_stacked_row(img)
+        if stacked_row is not None:
+            record.update(stacked_row)
 
     print(json.dumps(record))
 
