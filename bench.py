@@ -96,10 +96,11 @@ def _cached_stacked_row(img, cache="runs/stacked_cache_ep100_anneal"):
 
     q = evaluate_reconstruction(jnp.asarray(fused),
                                 jnp.asarray(img[..., 1::2]), data_range=1.0)
-    return {"odd_psnr_db_stacked": round(q["psnr"], 2),
-            "odd_ssim_stacked": round(q.get("ssim", float("nan")), 4),
-            "stacked_n_families": len(names),
-            "stacked_source": cache}
+    tag = "stacked4d" if img.ndim == 4 else "stacked"
+    return {f"odd_psnr_db_{tag}": round(q["psnr"], 2),
+            f"odd_ssim_{tag}": round(q.get("ssim", float("nan")), 4),
+            f"{tag}_n_families": len(names),
+            f"{tag}_source": cache}
 
 
 def main(argv=None):
@@ -291,11 +292,16 @@ def main(argv=None):
             "warp_epochs": warp_epochs,
         })
 
-        # full stacked-fusion headline from the committed family caches
+        # full stacked-fusion headlines from the committed family caches
         # (fit-free, CPU-cheap; None when the artifacts are absent)
         stacked_row = _cached_stacked_row(img)
         if stacked_row is not None:
             record.update(stacked_row)
+        img4d = load_volume("/root/reference/sample_ankle_dyn_mri.nii.gz").image()
+        stacked4d_row = _cached_stacked_row(
+            img4d, cache="runs/stacked4d_cache_ep60_anneal")
+        if stacked4d_row is not None:
+            record.update(stacked4d_row)
 
     print(json.dumps(record))
 
