@@ -78,6 +78,8 @@ __all__ = [
     "stacked_temporal_upsample",
     "fusion_uncertainty",
     "uncertainty_calibration",
+    "spatial_weight_field",
+    "fusion_oracles",
 ]
 
 FamilyFn = Callable[[np.ndarray, np.ndarray, np.ndarray], np.ndarray]
@@ -500,6 +502,7 @@ def stacked_interp_eval(
     shrink: float = 0.5,
     loo: bool = True,
     cache_dir: Optional[str] = None,
+    spatial: object = "off",
     **warp_kwargs,
 ) -> Tuple[np.ndarray, dict]:
     """Even-frame protocol scored for the LOO-stacked fusion.
@@ -521,7 +524,8 @@ def stacked_interp_eval(
         families = default_interp_families(config, image.shape, seeds, **warp_kwargs)
 
     fused_odd, weights = stacked_fuse(train_img, t_keep, t_odd, families,
-                                      shrink=shrink, loo=loo, cache_dir=cache_dir)
+                                      shrink=shrink, loo=loo, cache_dir=cache_dir,
+                                      spatial=spatial)
     deploy, w_new = weights.pop("_components")
     recon = np.zeros(image.shape, np.float32)
     recon[..., ::2] = train_img
@@ -541,6 +545,151 @@ def stacked_interp_eval(
                    "uncertainty": uncertainty}
 
 
+def _gaussian_smooth(a: np.ndarray, sigma: float) -> np.ndarray:
+    """Separable Gaussian blur over every axis of ``a``. Uses scipy.ndimage
+    when importable (it ships with this jax install), else a NumPy
+    convolution fallback — same reflect boundary, same truncation."""
+    if sigma <= 0:
+        return np.asarray(a, np.float64)
+    try:
+        from scipy.ndimage import gaussian_filter
+
+        return gaussian_filter(np.asarray(a, np.float64), sigma)
+    except ImportError:  # pragma: no cover - scipy present in the image
+        r = max(int(round(4 * sigma)), 1)
+        x = np.arange(-r, r + 1, dtype=np.float64)
+        k = np.exp(-0.5 * (x / sigma) ** 2)
+        k /= k.sum()
+        out = np.asarray(a, np.float64)
+        for ax in range(out.ndim):
+            m = np.moveaxis(out, ax, -1)
+            shp = m.shape
+            flat = m.reshape(-1, shp[-1])
+            pad = np.pad(flat, ((0, 0), (r, r)), mode="reflect")
+            sm = np.stack([np.convolve(row, k, mode="valid") for row in pad])
+            out = np.moveaxis(sm.reshape(shp), -1, ax)
+        return out
+
+
+def _proj_field(w: np.ndarray) -> np.ndarray:
+    """Clip-and-renormalize (..., F) onto the simplex along the last axis."""
+    w = np.maximum(w, 0.0)
+    return w / np.maximum(w.sum(axis=-1, keepdims=True), 1e-12)
+
+
+def spatial_weight_field(folds: Sequence[Tuple[float, np.ndarray, np.ndarray]],
+                         sigma: float, temp: float = 2.0) -> np.ndarray:
+    """Per-VOXEL family weights from the pooled LOO fold errors.
+
+    Average each family's squared fold error over the folds, blur with a
+    wide Gaussian (``sigma`` in voxels — the field must carry regional
+    competence, not pixel noise), and softmin across families. Uses only
+    kept-frame information, so fusing with it stays honest. Returns
+    (spatial..., F) simplex weights.
+    """
+    m = np.mean([(p - t[None]) ** 2 for _, p, t in folds], axis=0)  # (F, sp)
+    sm = np.stack([_gaussian_smooth(e, sigma) for e in m])
+    w = np.exp(-sm / (temp * sm.mean()))
+    return _proj_field(np.moveaxis(w, 0, -1))
+
+
+# Candidate (sigma, temp, spatial_shrink) grid for the nested-LOO spatial
+# selection, plus the temporal-only baseline (sigma 0 disables the field).
+_SPATIAL_CANDIDATES = ((0.0, 0.0, 0.0),) + tuple(
+    (sig, temp, ss)
+    for sig in (8.0, 16.0, 32.0)
+    for temp in (1.0, 2.0, 4.0)
+    for ss in (0.2, 0.35, 0.5))
+
+
+def _select_spatial_nested(folds, shrink: float) -> Tuple[float, float, float]:
+    """Pick (sigma, temp, spatial_shrink) by nested leave-one-fold-out: hold
+    each fold out, build the spatial field + temporal weights from the
+    REMAINING folds, predict the held (even) frame, accumulate MSE. The
+    temporal-only baseline competes as candidate (0,0,0); no odd-frame data
+    is touched. On the ankle 2D+t cache this honestly REJECTS the spatial
+    field (it does not transfer across folds there) and on the 4D cache it
+    keeps it (+0.05 dB held-out) — see RESULTS.md's fusion-ceiling note."""
+    F = folds[0][1].shape[0]
+    nfold = len(folds)
+    pos = np.asarray([t for t, _, _ in folds])
+    w_fold = np.stack([simplex_lstsq(p.reshape(F, -1), t.reshape(-1))
+                       for _, p, t in folds])
+    # per-held-fold temporal weights from the other folds (shared across
+    # candidates); matches stacked_fuse's shrink-then-interpolate layout
+    wt_h = []
+    for j in range(nfold):
+        others = [i for i in range(nfold) if i != j]
+        wg = simplex_lstsq(
+            np.concatenate([folds[i][1].reshape(F, -1) for i in others], axis=1),
+            np.concatenate([folds[i][2].reshape(-1) for i in others]))
+        wp = np.stack([shrink * wg + (1 - shrink) * w_fold[i] for i in others])
+        wt = np.stack([np.interp([pos[j]], pos[others], wp[:, f])[0]
+                       for f in range(F)])
+        wt_h.append(_proj_field(wt))
+    # smoothed per-fold error fields, computed once per sigma and averaged
+    # over the candidate's training folds (blur is linear, so the subset
+    # mean of blurred fields equals the blurred subset mean)
+    errs = [np.asarray((p - t[None]) ** 2, np.float64) for _, p, t in folds]
+    sm_cache: Dict[float, np.ndarray] = {}
+    best, best_mse = _SPATIAL_CANDIDATES[0], np.inf
+    for sig, temp, ss in _SPATIAL_CANDIDATES:
+        if sig > 0.0 and sig not in sm_cache:
+            sm_cache[sig] = np.stack(
+                [np.stack([_gaussian_smooth(e, sig) for e in fe]) for fe in errs])
+        se, n = 0.0, 0
+        for j in range(nfold):
+            _, p_h, tgt_h = folds[j]
+            if sig == 0.0:
+                pred = np.einsum("f...,f->...", p_h, wt_h[j])
+            else:
+                sm = sm_cache[sig][[i for i in range(nfold) if i != j]].mean(axis=0)
+                ws = _proj_field(np.moveaxis(np.exp(-sm / (temp * sm.mean())), 0, -1))
+                w = _proj_field((1 - ss) * ws + ss * wt_h[j])
+                pred = np.einsum("f...,...f->...", p_h, w)
+            se += float(np.sum((pred - tgt_h) ** 2))
+            n += tgt_h.size
+        if se / n < best_mse:
+            best, best_mse = (sig, temp, ss), se / n
+    return best
+
+
+def fusion_oracles(deploy: np.ndarray, target: np.ndarray) -> dict:
+    """CHEATING upper bounds for linear fusion of ``deploy`` (F, spatial...,
+    T) against ground truth — the headroom analysis, never a result row.
+
+    Returns PSNRs for: the global simplex oracle, the per-time simplex
+    oracle, the per-time unconstrained least-squares oracle (the ceiling of
+    ANY honest weight schedule that is constant per frame), and the
+    per-voxel best-single-family oracle (the ceiling of per-voxel
+    selection). On the ankle caches the honest stacked rows sit within
+    ~0.35 dB of the per-time oracle — fusion is saturated; further held-out
+    gains require better base families (see RESULTS.md)."""
+    F = deploy.shape[0]
+    T = deploy.shape[-1]
+
+    def _psnr(x):
+        return float(-10.0 * np.log10(np.mean((x - target) ** 2)))
+
+    w = simplex_lstsq(deploy.reshape(F, -1), target.reshape(-1))
+    out = {"global_simplex": _psnr(np.einsum("f...,f->...", deploy, w))}
+    per_t = np.empty_like(target)
+    for ti in range(T):
+        wt = simplex_lstsq(deploy[..., ti].reshape(F, -1),
+                           target[..., ti].reshape(-1))
+        per_t[..., ti] = np.einsum("f...,f->...", deploy[..., ti], wt)
+    out["per_time_simplex"] = _psnr(per_t)
+    for ti in range(T):
+        A = deploy[..., ti].reshape(F, -1).T
+        wt, *_ = np.linalg.lstsq(A, target[..., ti].reshape(-1), rcond=None)
+        per_t[..., ti] = (A @ wt).reshape(target.shape[:-1])
+    out["per_time_unconstrained"] = _psnr(per_t)
+    pick = ((deploy - target[None]) ** 2).argmin(axis=0)
+    out["per_voxel_best_family"] = _psnr(
+        np.take_along_axis(deploy, pick[None], 0)[0])
+    return out
+
+
 def stacked_fuse(
     train_frames: np.ndarray,
     t_keep: np.ndarray,
@@ -549,13 +698,23 @@ def stacked_fuse(
     shrink: float = 0.5,
     loo: bool = True,
     cache_dir: Optional[str] = None,
+    spatial: object = "off",
 ) -> Tuple[np.ndarray, dict]:
     """Fuse the families' predictions at ``t_new`` with honestly-selected
     weights: every family is deployed on all kept frames; simplex weights are
     solved on the LOO fold errors (global + per-position, shrunk, then
     interpolated from the fold positions to ``t_new``). Only kept-frame
     information is used end to end. Returns (fused (spatial..., len(t_new)),
-    weights dict)."""
+    weights dict).
+
+    ``spatial``: per-voxel weighting on top of the temporal schedule.
+    ``"off"`` (default) keeps the temporal-only weights; ``"nested"`` runs
+    the nested leave-one-fold-out selection (``_select_spatial_nested``) —
+    the temporal-only baseline competes, so this can only be picked when the
+    folds themselves say the field transfers; a ``(sigma, temp,
+    spatial_shrink)`` tuple forces those hyperparameters. Either way the
+    field comes from ``spatial_weight_field`` (pooled fold errors), so no
+    ``t_new`` ground truth is consulted."""
     names = list(families)
     deploy = np.stack([
         _cached_call(cache_dir, f"deploy_{n}",
@@ -579,21 +738,43 @@ def stacked_fuse(
         w_new = np.stack([
             np.interp(t_new, pos, w_pos[:, f]) for f in range(len(names))
         ], axis=-1)
-        w_new = np.maximum(w_new, 0.0)
-        w_new /= w_new.sum(axis=-1, keepdims=True)
+        w_new = _proj_field(w_new)
         weights = {"global": dict(zip(names, map(float, w_global))),
                    "per_position": {float(t): dict(zip(names, map(float, w)))
                                     for t, w in zip(t_new, w_new)}}
+        if spatial != "off":
+            if spatial == "nested":
+                sig, temp, ss = _select_spatial_nested(folds, shrink)
+            else:
+                sig, temp, ss = spatial
+            weights["spatial"] = {"sigma": float(sig), "temp": float(temp),
+                                  "spatial_shrink": float(ss)}
+            if sig > 0.0:
+                ws = spatial_weight_field(folds, sig, temp)  # (spatial..., F)
+                sp = ws.shape[:-1]
+                w_new = _proj_field(
+                    (1 - ss) * ws[..., None, :]
+                    + ss * w_new.reshape((1,) * len(sp) + w_new.shape))
+                # w_new is now a (spatial..., T, F) FIELD; the einsum and
+                # fusion_uncertainty below broadcast over either layout
     else:
         w_new = np.full((len(t_new), len(names)), 1.0 / len(names))
         weights = {"global": dict(zip(names, [1.0 / len(names)] * len(names)))}
 
-    fused = np.einsum("f...t,tf->...t", deploy, w_new)
+    fused = _weighted_fuse(deploy, w_new)
     # private channel for the uncertainty map (fusion_uncertainty needs the
     # per-family predictions + per-position weights); every public caller
     # pops it before returning weights to users (tested not to leak)
     weights["_components"] = (deploy, w_new)
     return fused, weights
+
+
+def _weighted_fuse(preds: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """sum_f w_f(t[, x]) preds_f — ``w`` is either (T, F) per-time weights or
+    a (spatial..., T, F) per-voxel field."""
+    if w.ndim == 2:
+        return np.einsum("f...t,tf->...t", preds, w)
+    return np.einsum("f...t,...tf->...t", preds, w)
 
 
 def fusion_uncertainty(preds: np.ndarray, weights: np.ndarray,
@@ -605,7 +786,8 @@ def fusion_uncertainty(preds: np.ndarray, weights: np.ndarray,
     temporal super-resolution of an observed sequence).
 
     ``preds``: (F, spatial..., T) family predictions; ``weights``: (T, F)
-    per-position simplex weights. Returns (spatial..., T) >= 0.
+    per-position simplex weights, or a (spatial..., T, F) per-voxel field
+    (the ``spatial=`` fusion layout). Returns (spatial..., T) >= 0.
 
     The sigma weights are floored toward uniform,
     ``w_eff = (1-eps) w + eps/F``: the LOO solver routinely returns one-hot
@@ -624,8 +806,8 @@ def fusion_uncertainty(preds: np.ndarray, weights: np.ndarray,
     w = np.asarray(weights, np.float32)
     F = w.shape[-1]
     w = (1.0 - eps) * w + eps / F
-    fused = np.einsum("f...t,tf->...t", preds, w)
-    var = np.einsum("f...t,tf->...t", (preds - fused[None]) ** 2, w)
+    fused = _weighted_fuse(preds, w)
+    var = _weighted_fuse((preds - fused[None]) ** 2, w)
     return np.sqrt(np.maximum(var, 0.0))
 
 
@@ -678,6 +860,7 @@ def stacked_temporal_upsample(
     shrink: float = 0.5,
     cache_dir: Optional[str] = None,
     return_uncertainty: bool = False,
+    spatial: object = "off",
     **warp_kwargs,
 ) -> Tuple[np.ndarray, dict]:
     """Temporal super-resolution of an OBSERVED sequence — the deployable
@@ -707,7 +890,8 @@ def stacked_temporal_upsample(
         families = default_interp_families(
             config, frames.shape[:-1] + (t_up,), seeds, **warp_kwargs)
     fused, weights = stacked_fuse(frames, t_keep, t_new, families,
-                                  shrink=shrink, cache_dir=cache_dir)
+                                  shrink=shrink, cache_dir=cache_dir,
+                                  spatial=spatial)
     deploy, w_new = weights.pop("_components")
     out = np.zeros(frames.shape[:-1] + (t_up,), np.float32)
     out[..., ::t_factor] = frames

@@ -456,3 +456,100 @@ def test_default_families_accept_w0_accel_passthrough():
     fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9),
                                    warp_w0=4.0, warp_accel=2.0)
     assert "warp" in fams and "warp_noaccel" in fams
+
+
+def test_spatial_weight_field_localizes_competence():
+    # family A is accurate in the LEFT half, family B in the RIGHT half;
+    # the pooled-smoothed-error field must weight each where it is good.
+    from mri_interpolation_tpu.train.stacking import spatial_weight_field
+
+    rng = np.random.default_rng(0)
+    X = 64
+    folds = []
+    for k in range(4):
+        target = rng.normal(size=(X, X)).astype(np.float64)
+        a = target + np.where(np.arange(X)[:, None] < X // 2, 0.01, 1.0) * \
+            rng.normal(size=(X, X))
+        b = target + np.where(np.arange(X)[:, None] < X // 2, 1.0, 0.01) * \
+            rng.normal(size=(X, X))
+        folds.append((k / 4.0, np.stack([a, b]), target))
+    w = spatial_weight_field(folds, sigma=4.0, temp=1.0)
+    assert w.shape == (X, X, 2)
+    np.testing.assert_allclose(w.sum(axis=-1), 1.0, atol=1e-6)
+    assert w[: X // 2 - 8, :, 0].mean() > 0.8       # A dominates left
+    assert w[X // 2 + 8:, :, 1].mean() > 0.8        # B dominates right
+
+
+def test_stacked_fuse_spatial_beats_temporal_on_split_competence():
+    # With spatially-split family competence, the per-voxel field must beat
+    # the temporal-only weights; the nested selector must also KEEP the
+    # field (the structure transfers across folds by construction).
+    from mri_interpolation_tpu.train.stacking import stacked_fuse
+
+    rng = np.random.default_rng(1)
+    X, T = 48, 9
+    base = rng.normal(size=(X, X, T)).astype(np.float64)
+    img = np.cumsum(base, axis=-1) * 0.05
+    left = np.arange(X)[:, None] < X // 2
+
+    def make_family(good_left):
+        scale = np.where(left, 0.02 if good_left else 0.6,
+                         0.6 if good_left else 0.02)
+        def family(train_frames, t_keep, t_eval, scale=scale):
+            out = []
+            for t in np.asarray(t_eval):
+                truth = np.stack([np.interp(t, np.linspace(0, 1, T), img[i, j])
+                                  for i in range(X) for j in range(X)]
+                                 ).reshape(X, X)
+                noise = np.random.default_rng(int(t * 1e6) % 2**31).normal(size=(X, X))
+                out.append(truth + scale * noise)
+            return np.stack(out, axis=-1)
+        return family
+
+    fams = {"a": make_family(True), "b": make_family(False)}
+    even = img[..., ::2]
+    t_keep = np.asarray([2 * j / (T - 1) for j in range(even.shape[-1])])
+    t_odd = np.asarray([(2 * j + 1) / (T - 1) for j in range((T - 1) // 2)])
+    odd = img[..., 1::2]
+
+    def mse(x):
+        return float(np.mean((x - odd) ** 2))
+
+    fused_t, w_t = stacked_fuse(even, t_keep, t_odd, fams, spatial="off")
+    fused_s, w_s = stacked_fuse(even, t_keep, t_odd, fams, spatial="nested")
+    w_t.pop("_components"); w_s.pop("_components")
+    assert w_s["spatial"]["sigma"] > 0.0            # nested KEPT the field
+    assert mse(fused_s) < mse(fused_t) * 0.5
+    # forced hyperparameters follow the same path
+    fused_f, w_f = stacked_fuse(even, t_keep, t_odd, fams,
+                                spatial=(8.0, 1.0, 0.2))
+    w_f.pop("_components")
+    assert w_f["spatial"] == {"sigma": 8.0, "temp": 1.0, "spatial_shrink": 0.2}
+    assert mse(fused_f) < mse(fused_t)
+
+
+def test_fusion_uncertainty_accepts_weight_field():
+    from mri_interpolation_tpu.train.stacking import fusion_uncertainty
+
+    rng = np.random.default_rng(2)
+    preds = rng.normal(size=(3, 8, 8, 5)).astype(np.float32)
+    w_time = np.full((5, 3), 1 / 3, np.float32)
+    w_field = np.full((8, 8, 5, 3), 1 / 3, np.float32)
+    s_time = fusion_uncertainty(preds, w_time)
+    s_field = fusion_uncertainty(preds, w_field)
+    assert s_time.shape == s_field.shape == (8, 8, 5)
+    np.testing.assert_allclose(s_time, s_field, atol=1e-6)
+
+
+def test_fusion_oracles_orders_and_bounds():
+    from mri_interpolation_tpu.train.stacking import fusion_oracles
+
+    rng = np.random.default_rng(3)
+    target = rng.normal(size=(16, 16, 4)).astype(np.float64)
+    deploy = np.stack([target + 0.3 * rng.normal(size=target.shape)
+                       for _ in range(3)])
+    o = fusion_oracles(deploy, target)
+    # each oracle is at least as strong as the previous constraint level
+    assert o["per_time_simplex"] >= o["global_simplex"] - 1e-6
+    assert o["per_time_unconstrained"] >= o["per_time_simplex"] - 1e-6
+    assert o["per_voxel_best_family"] >= o["global_simplex"] - 1e-6
