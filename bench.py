@@ -340,8 +340,8 @@ def main(argv=None):
             ("linear", 20.0, row_linear),
             ("warp_cached", 15.0, row_warp_cached),
             ("ngp", 120.0, row_ngp),
-            ("stacked", 60.0, row_stacked),
-            ("stacked4d", 230.0, row_stacked4d),
+            ("stacked", 35.0, row_stacked),
+            ("stacked4d", 75.0, row_stacked4d),
         ]
         for name, cost, thunk in rows:
             if remaining() < cost:

@@ -13,6 +13,8 @@ have produced.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -32,20 +34,17 @@ def psnr(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0) -> jnp
 def _uniform_filter(x: jnp.ndarray, size: int) -> jnp.ndarray:
     """Separable mean filter ('valid' windows) over all axes of x.
 
-    precision=HIGHEST is load-bearing: TPU lowers convolve to a dot whose
-    default precision truncates inputs to bf16 (~0.4% relative error — far
-    above SSIM's c2=9e-4 stabilizer, enough to push near-exact
-    reconstructions' SSIM several percent past 1.0)."""
+    Implemented as one 1-D ``lax.reduce_window`` sum per axis: a single XLA
+    primitive each, so the whole SSIM block compiles in seconds (the
+    previous vmap-of-convolve formulation took minutes to compile on 4D
+    shapes) and accumulates exactly in f32 (the convolve path lowered to a
+    bf16-truncating dot unless pinned to Precision.HIGHEST)."""
     for axis in range(x.ndim):
-        x = jnp.moveaxis(x, axis, -1)
-        kernel = jnp.ones((size,), dtype=x.dtype) / size
-        shape = x.shape
-        flat = x.reshape(-1, shape[-1])
-        out = jax.vmap(
-            lambda row: jnp.convolve(row, kernel, mode="valid", precision=jax.lax.Precision.HIGHEST)
-        )(flat)
-        x = out.reshape(*shape[:-1], out.shape[-1])
-        x = jnp.moveaxis(x, -1, axis)
+        win = [1] * x.ndim
+        win[axis] = size
+        x = jax.lax.reduce_window(
+            x, jnp.float32(0.0), jax.lax.add,
+            tuple(win), (1,) * x.ndim, "VALID") / size
     return x
 
 
@@ -103,17 +102,28 @@ def param_count(params) -> int:
     return sum(int(p.size) for p in jax.tree.leaves(params))
 
 
+@partial(jax.jit, static_argnames=("data_range", "win_size"))
+def _eval_block(pred, target, data_range: float, win_size: int):
+    """One compiled program for the whole metric block. SSIM eager costs
+    ~100 dispatches; on the tunneled axon backend each pays a host<->device
+    round trip, which turned a 4D metric call into ~2 minutes (measured
+    round 4). Jitted: one (disk-cached) compile + one execution."""
+    out = (mse(pred, target), psnr(pred, target, data_range))
+    if win_size >= 3:
+        out = out + (ssim(pred, target, data_range, win_size=win_size),)
+    return out
+
+
 def evaluate_reconstruction(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0) -> dict:
     """The full quality block: MSE / PSNR / SSIM as python floats."""
-    out = {
-        "mse": float(mse(pred, target)),
-        "psnr": float(psnr(pred, target, data_range)),
-    }
     # Adapt the window to the smallest axis (largest odd size <= 7 that
     # fits) so thin-axis volumes — e.g. the 4D (352,352,6,15) sample — get
     # an SSIM instead of a silent skip.
     win = min(7, min(int(s) for s in pred.shape))
     win -= (win + 1) % 2
-    if win >= 3:
-        out["ssim"] = float(ssim(pred, target, data_range, win_size=win))
+    vals = _eval_block(jnp.asarray(pred), jnp.asarray(target),
+                       float(data_range), int(win))
+    out = {"mse": float(vals[0]), "psnr": float(vals[1])}
+    if len(vals) > 2:
+        out["ssim"] = float(vals[2])
     return out
