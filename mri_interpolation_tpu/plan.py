@@ -33,7 +33,15 @@ import numpy as np
 
 from .encodings.hashgrid import HashGridEncoding
 
-__all__ = ["plan_run", "main"]
+__all__ = ["plan_run", "step_roofline", "main"]
+
+# Public per-chip peaks (jax-ml.github.io/scaling-book, Google v5e spec
+# sheet): HBM bandwidth and MXU matmul throughput. f32 matmuls run the MXU
+# in multi-pass mode at ~1/4 of the bf16 rate.
+CHIPS = {
+    "v5e": {"hbm_bytes_per_s": 819e9, "bf16_flops": 1.97e14,
+            "f32_flops": 4.9e13},
+}
 
 
 def _decoder_param_count(enc_out: int, dim_hidden: int, n_layers: int,
@@ -183,6 +191,124 @@ def plan_run(
     }
 
 
+def step_roofline(
+    dim_in: int,
+    n_levels: int = 4,
+    n_features_per_level: int = 1,
+    log2_hashmap_size: int = 23,
+    base_resolution: Union[int, Sequence[int]] = (64, 64, 5),
+    finest_resolution: Union[int, Sequence[int], None] = (352, 352, 15),
+    per_level_scale: Optional[float] = None,
+    growth: str = "reference",
+    storage: str = "auto",
+    dim_hidden: int = 64,
+    n_layers: int = 2,
+    dim_out: int = 1,
+    decoder: str = "norm",
+    batch_size: int = 10000,
+    optimizer: str = "adam",
+    chip: str = "v5e",
+    measured_steps_per_sec: Optional[float] = None,
+) -> dict:
+    """Roofline model of ONE optimizer step of the HashMLP trainer.
+
+    Counts the HBM bytes moved and the FLOPs issued per training step from
+    the same static encoder metadata ``plan_run`` uses, divides by the
+    chip's public peaks (``CHIPS``), and reports the two time floors — the
+    step can be no faster than max(bytes/BW, flops/peak). When
+    ``measured_steps_per_sec`` is given, also reports the achieved fraction
+    of the binding roofline and the implied dispatch/latency overhead.
+
+    Byte accounting (f32 training throughout):
+      encode fwd: 2^d corner gathers per (voxel, level) of F features +
+        the batch coordinates once;
+      encode bwd: scatter-add of the same feature bytes (read+write);
+      decoder: weight reads fwd + 2x bwd, activation write fwd / read bwd;
+      optimizer: dense Adam over every parameter — 3 reads (p, m, v) +
+        3 writes, the dominant term for large tables (the single-scatter
+        VJP design updates the whole table each step; tcnn pays the same).
+
+    FLOP accounting: decoder matmuls fwd + 2x bwd (dL/dx and dL/dW);
+    multilinear interpolation weight products; ~10 FLOPs/param for Adam.
+    """
+    enc = HashGridEncoding(
+        dim=dim_in, n_levels=n_levels,
+        n_features_per_level=n_features_per_level,
+        log2_hashmap_size=log2_hashmap_size,
+        base_resolution=base_resolution, finest_resolution=finest_resolution,
+        per_level_scale=per_level_scale, growth=growth, storage=storage,
+    )
+    F = n_features_per_level
+    B = batch_size
+    d = dim_in
+    corners = 2 ** d
+    table_rows = int(enc.total_size)
+    dec_params = _decoder_param_count(enc.output_dim, dim_hidden, n_layers,
+                                      dim_out, decoder)
+    n_params = table_rows * F + dec_params
+
+    # ---- bytes -----------------------------------------------------------
+    gather_bytes = B * n_levels * corners * F * 4          # fwd feature reads
+    scatter_bytes = 2 * gather_bytes                       # bwd read+write
+    coord_bytes = B * (d + 1) * 4                          # batch (x, y)
+    widths = [enc.output_dim] + [dim_hidden] * (n_layers - 1) + [dim_out]
+    act_bytes = 2 * B * sum(widths) * 4                    # write fwd + read bwd
+    weight_bytes = 3 * dec_params * 4                      # fwd + 2 bwd passes
+    opt_mult = 6 if optimizer.startswith("adam") else 2    # r/w p (+ m, v)
+    opt_bytes = opt_mult * n_params * 4
+    bytes_total = (gather_bytes + scatter_bytes + coord_bytes + act_bytes
+                   + weight_bytes + opt_bytes)
+
+    # ---- flops -----------------------------------------------------------
+    mm = sum(widths[i] * widths[i + 1] for i in range(n_layers))
+    dec_flops = 3 * 2 * B * mm                             # fwd + 2 bwd matmuls
+    interp_flops = 2 * B * n_levels * corners * (d + 2 * F)
+    opt_flops = 10 * n_params
+    flops_total = dec_flops + interp_flops + opt_flops
+
+    peaks = CHIPS[chip]
+    t_bw = bytes_total / peaks["hbm_bytes_per_s"]
+    t_mxu = flops_total / peaks["f32_flops"]
+    t_floor = max(t_bw, t_mxu)
+    out = {
+        "chip": chip,
+        "bytes_per_step": {
+            "encode_gather": gather_bytes,
+            "encode_scatter": scatter_bytes,
+            "decoder_weights": weight_bytes,
+            "activations": act_bytes,
+            "optimizer": opt_bytes,
+            "coords": coord_bytes,
+            "total": bytes_total,
+        },
+        "flops_per_step": {
+            "decoder": dec_flops,
+            "interp": interp_flops,
+            "optimizer": opt_flops,
+            "total": flops_total,
+        },
+        "floor_s": {
+            "hbm": t_bw,
+            "mxu_f32": t_mxu,
+            "binding": "hbm" if t_bw >= t_mxu else "mxu",
+            "predicted_step_s": t_floor,
+            "predicted_steps_per_sec": 1.0 / t_floor,
+        },
+    }
+    if measured_steps_per_sec:
+        t_meas = 1.0 / measured_steps_per_sec
+        out["measured"] = {
+            "steps_per_sec": measured_steps_per_sec,
+            "step_s": t_meas,
+            "fraction_of_roofline": t_floor / t_meas,
+            # everything the roofline doesn't account for: kernel launch /
+            # tunnel dispatch latency, non-overlapped transposes, XLA
+            # transients. For small batches this dominates.
+            "overhead_s": t_meas - t_floor,
+        }
+    return out
+
+
 def _tuple_arg(s: str):
     s = s.strip()
     if not s:
@@ -214,10 +340,26 @@ def main(argv=None):
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--hbm_gb", type=float, default=16.0,
                     help="per-chip HBM budget (v5e: 16)")
+    ap.add_argument("--roofline", action="store_true",
+                    help="also print the per-step roofline model "
+                         "(bytes, FLOPs, time floors vs chip peaks)")
+    ap.add_argument("--measured_steps_per_sec", type=float, default=None,
+                    help="with --roofline: print predicted step time next "
+                         "to this measured rate + achieved fraction")
     args = ap.parse_args(argv)
     kw = vars(args).copy()
     kw["hbm_bytes"] = kw.pop("hbm_gb") * 1e9
+    roofline = kw.pop("roofline")
+    measured = kw.pop("measured_steps_per_sec")
     out = plan_run(**kw)
+    if roofline or measured:
+        rl_kw = {k: kw[k] for k in (
+            "dim_in", "n_levels", "n_features_per_level", "log2_hashmap_size",
+            "base_resolution", "finest_resolution", "per_level_scale",
+            "growth", "storage", "dim_hidden", "n_layers", "dim_out",
+            "decoder", "batch_size", "optimizer")}
+        out["roofline"] = step_roofline(
+            measured_steps_per_sec=measured, **rl_kw)
     print(json.dumps(out, indent=2))
 
 

@@ -15,6 +15,8 @@ from mri_interpolation_tpu.metrics import evaluate_reconstruction
 from mri_interpolation_tpu.models import make_hash_mlp, make_siren
 from mri_interpolation_tpu.train import TrainConfig, Trainer
 
+pytestmark = pytest.mark.slow  # full-pipeline/protocol layer (run with -m slow; excluded from the fast unit run)
+
 
 @pytest.fixture(scope="module")
 def ankle_crop(sample_volume_path):

@@ -270,6 +270,7 @@ class TestCellViewSplit:
 
 
 class TestPacked4D:
+    @pytest.mark.slow
     def test_4d_mixed_levels_grads_and_values(self):
         """4D (C=16) packed path: values and grads match an all-cell-view
         reference encoder."""
@@ -303,6 +304,7 @@ class TestPacked4D:
         np.testing.assert_allclose(float(out[0, 0]), manual, rtol=1e-5)
 
 
+@pytest.mark.slow
 class TestApplyGrid:
     """Separable regular-grid evaluation must equal the per-voxel oracle."""
 

@@ -10,6 +10,8 @@ import pytest
 sys.path.insert(0, "/root/repo")
 import __graft_entry__ as ge
 
+pytestmark = pytest.mark.slow  # full-pipeline/protocol layer (run with -m slow; excluded from the fast unit run)
+
 
 def test_entry_compiles_and_runs():
     fn, args = ge.entry()

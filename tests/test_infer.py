@@ -134,6 +134,7 @@ class TestClassicalTemporalMethods:
 
 
 class TestEvalCacheBound:
+    @pytest.mark.slow
     def test_lru_eviction(self):
         from mri_interpolation_tpu.infer import grid as g
         from mri_interpolation_tpu.models import make_siren
@@ -245,6 +246,8 @@ class TestHashModelGridEval:
             base_resolution=(4, 4, 2), finest_resolution=(24, 24, 12),
             dim_hidden=16, n_layers=2, decoder="relu_plain", fused="off")
 
+    @pytest.mark.slow
+
     def test_hoisted_path_matches_direct_apply(self):
         model = self._model()
         params, state = model.init(jax.random.key(0))
@@ -333,6 +336,8 @@ class TestAnnealedModelInference:
         direct, _ = model.apply(params, state, jnp.asarray(flat_coords(shape)),
                                 train=False, rng=None)
         np.testing.assert_allclose(vol.reshape(-1, 1), np.asarray(direct), atol=1e-6)
+
+    @pytest.mark.slow
 
     def test_grid_fast_path_matches_apply_mid_ramp(self):
         # all-dense config -> the separable grid path; weighting must apply

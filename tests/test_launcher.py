@@ -11,6 +11,8 @@ from mri_interpolation_tpu.configs import RunConfig
 from mri_interpolation_tpu.io import nifti, synthetic_volume
 from mri_interpolation_tpu.launcher import build_model, build_parser, make_run_dir, run
 
+pytestmark = pytest.mark.slow  # full-pipeline/protocol layer (run with -m slow; excluded from the fast unit run)
+
 
 @pytest.fixture()
 def tiny_volume_path(tmp_path):

@@ -24,6 +24,7 @@ class TestPsnr:
         np.testing.assert_allclose(float(psnr(x, y, data_range=2.0)), 20.0 + 10 * np.log10(4), rtol=1e-5)
 
 
+@pytest.mark.slow
 class TestSsim:
     def test_identical(self):
         rng = np.random.default_rng(0)
@@ -71,6 +72,8 @@ class TestMisc:
     def test_param_count(self):
         params = {"a": jnp.ones((3, 4)), "b": [jnp.ones((5,)), jnp.ones((2, 2))]}
         assert param_count(params) == 12 + 5 + 4
+
+    @pytest.mark.slow
 
     def test_evaluate_reconstruction_keys(self):
         rng = np.random.default_rng(2)

@@ -110,6 +110,7 @@ class TestMlpFamily:
 
 
 class TestHashMLP:
+    @pytest.mark.slow
     def test_forward_and_bn_state_updates(self):
         model = make_hash_mlp(dim_in=3, n_levels=2, base_resolution=(8, 8, 4),
                               finest_resolution=(16, 16, 8), log2_hashmap_size=12,
@@ -122,6 +123,8 @@ class TestHashMLP:
         # eval mode: state unchanged
         y2, eval_state = model.apply(params, new_state, X3, train=False)
         assert eval_state["bn"][0] is new_state["bn"][0]
+
+    @pytest.mark.slow
 
     def test_tcnn_style_decoder(self):
         model = make_hash_mlp(dim_in=3, n_levels=4, base_resolution=16,
@@ -213,6 +216,7 @@ class TestFreqMLP:
             make_freq_mlp(encoder_type="nope")
 
 
+@pytest.mark.slow
 class TestMultiFrame:
     def test_multi_siren_frame_routing(self):
         model = make_multi_siren(dim_in=2, dim_hidden=8, n_layers=2, n_frames=3)
@@ -289,6 +293,7 @@ class TestGaborAutoInit:
         assert res.losses[-1] < res.losses[0] * 0.2
 
 
+@pytest.mark.slow
 class TestFusedWiring:
     def test_siren_fused_interpret_matches_off(self):
         m_off = make_siren(dim_in=3, dim_hidden=16, n_layers=2, fused="off")
@@ -373,6 +378,7 @@ class TestNormProperDecoder:
 
 
 class TestWarpInr:
+    @pytest.mark.slow
     def test_identity_warp_at_init(self):
         from mri_interpolation_tpu.models import make_warp_inr
 
@@ -417,6 +423,7 @@ class TestWarpInr:
         assert res.losses[-1] < res.losses[0] * 0.1
 
 
+@pytest.mark.slow
 class TestWarpRegularizers:
     """The r3 sweep knobs: accel/smooth priors enter via loss_fn and must
     train finitely and differ from the unregularized loss."""
@@ -471,6 +478,7 @@ class TestWarpRegularizers:
                                np.asarray(b.params["warp"][0]["w"]))
 
 
+@pytest.mark.slow
 class TestEnsembledWarpProtocol:
     def test_ensemble_runs_and_reports(self):
         import numpy as np

@@ -58,6 +58,8 @@ class TestNativeCodec:
         ref = volume.flat_coords((4, 5, 3), lo=-1.0)
         np.testing.assert_allclose(got, ref, atol=1e-6)
 
+    @pytest.mark.slow
+
     def test_sample_volume(self, sample_volume_path):
         out, shape, pixdim = native.load_volume_native(sample_volume_path)
         assert shape == (352, 352, 6, 15)

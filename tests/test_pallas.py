@@ -96,10 +96,13 @@ class TestFusedSirenVjp:
 
 from mri_interpolation_tpu.encodings import HashGridEncoding
 from mri_interpolation_tpu.ops.pallas.hash_encode import (
+
     hash_encode_forward,
     pallas_hash_encode,
     table_fits_vmem,
 )
+
+pytestmark = pytest.mark.slow  # full-pipeline/protocol layer (run with -m slow; excluded from the fast unit run)
 
 
 def _enc_setup(storage="auto", dim=3, n=1000, **kw):

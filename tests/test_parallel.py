@@ -15,6 +15,8 @@ from mri_interpolation_tpu.parallel import (
 )
 from mri_interpolation_tpu.train import TrainConfig, Trainer
 
+pytestmark = pytest.mark.slow  # full-pipeline/protocol layer (run with -m slow; excluded from the fast unit run)
+
 
 @pytest.fixture(scope="module")
 def mesh8():

@@ -1,3 +1,4 @@
+import pytest
 """Tests for plan.py — the capacity planner."""
 
 import json
@@ -35,6 +36,9 @@ def test_flagship_fits_single_chip():
     # flagship: all four levels fit their hashmap budget -> dense
     assert all(l["storage"] == "dense" for l in out["levels"])
     assert out["sharding"] is None
+
+
+@pytest.mark.slow
 
 
 def test_big_dense_table_recommends_sharding():

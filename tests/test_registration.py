@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import pytest
 
 from mri_interpolation_tpu.infer.registration import (
+
     warp_frame,
     register_pair,
     synthesize_frame,
@@ -18,6 +19,8 @@ from mri_interpolation_tpu.infer.registration import (
     register_group_temporal,
     group_motion_upsample,
 )
+
+pytestmark = pytest.mark.slow  # full-pipeline/protocol layer (run with -m slow; excluded from the fast unit run)
 
 
 def _blob(shape, center, sigma=0.12):

@@ -23,6 +23,8 @@ from mri_interpolation_tpu.parallel.sharded_table import (
 )
 from mri_interpolation_tpu.train import TrainConfig, Trainer
 
+pytestmark = pytest.mark.slow  # parallel/protocol layer (run with -m slow; excluded from the fast unit run)
+
 
 def _enc_hashed(n_levels=8, log2=8, f=2):
     return HashGridEncoding(

@@ -1,6 +1,7 @@
 """Tests for train/stacking.py — LOO-stacked temporal interpolation."""
 
 import numpy as np
+import pytest
 
 from mri_interpolation_tpu.train import TrainConfig
 from mri_interpolation_tpu.train.stacking import (
@@ -13,6 +14,8 @@ from mri_interpolation_tpu.train.stacking import (
     _linear_family,
     _registration_family,
 )
+
+pytestmark = pytest.mark.slow  # full-pipeline/protocol layer (run with -m slow; excluded from the fast unit run)
 
 
 def test_cubic_family_exact_on_quadratic_trajectories():

@@ -182,6 +182,7 @@ class TestProfiling:
         assert ms > 0
 
 
+@pytest.mark.slow
 class TestUndersampledProtocol:
     def test_fit_from_sparse_voxels_beats_zero_filled(self):
         """Sparse-acquisition protocol (VERDICT r2 Next #7): fitting an INR
