@@ -209,6 +209,7 @@ def step_roofline(
     optimizer: str = "adam",
     chip: str = "v5e",
     measured_steps_per_sec: Optional[float] = None,
+    measured_gather_ns: Optional[float] = None,
 ) -> dict:
     """Roofline model of ONE optimizer step of the HashMLP trainer.
 
@@ -270,6 +271,20 @@ def step_roofline(
     t_bw = bytes_total / peaks["hbm_bytes_per_s"]
     t_mxu = flops_total / peaks["f32_flops"]
     t_floor = max(t_bw, t_mxu)
+
+    # Random-access (transaction) accounting: on TPU a 4-byte random gather
+    # costs a full transaction (~6-9 ns measured in isolation on v5e via
+    # XLA's gather; see scripts/experiments.py --roofline microbenchmark),
+    # so hash-encode workloads are bound by ACCESS COUNT, not by the
+    # sequential HBM byte rate the classic roofline uses. Count the random
+    # accesses per step: per (voxel, level) the cell-view levels do one
+    # row-gather, the packed levels 2^d element-gathers; the backward
+    # scatter-adds the same set.
+    n_cv = int(np.sum(enc.level_cellview))
+    n_packed = n_levels - n_cv
+    fwd_accesses = B * (n_cv + n_packed * corners)
+    random_accesses = 2 * fwd_accesses        # + the backward's scatter-add
+
     out = {
         "chip": chip,
         "bytes_per_step": {
@@ -287,6 +302,7 @@ def step_roofline(
             "optimizer": opt_flops,
             "total": flops_total,
         },
+        "random_accesses_per_step": random_accesses,
         "floor_s": {
             "hbm": t_bw,
             "mxu_f32": t_mxu,
@@ -295,6 +311,16 @@ def step_roofline(
             "predicted_steps_per_sec": 1.0 / t_floor,
         },
     }
+    if measured_gather_ns is not None:
+        # The binding floor for gather-heavy steps: every random access pays
+        # the measured per-transaction cost, everything sequential rides the
+        # byte rate, compute rides the MXU — take the max.
+        seq_bytes = bytes_total - gather_bytes - scatter_bytes
+        t_tx = (random_accesses * measured_gather_ns * 1e-9
+                + seq_bytes / peaks["hbm_bytes_per_s"])
+        t_tx = max(t_tx, t_mxu)
+        out["floor_s"]["transaction"] = t_tx
+        out["floor_s"]["measured_gather_ns"] = measured_gather_ns
     if measured_steps_per_sec:
         t_meas = 1.0 / measured_steps_per_sec
         out["measured"] = {
@@ -306,6 +332,9 @@ def step_roofline(
             # transients. For small batches this dominates.
             "overhead_s": t_meas - t_floor,
         }
+        if measured_gather_ns is not None:
+            out["measured"]["fraction_of_transaction_roofline"] = (
+                out["floor_s"]["transaction"] / t_meas)
     return out
 
 
