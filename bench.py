@@ -110,9 +110,13 @@ def _cached_stacked_row(img, cache=CACHE_2DT):
     t_full = img.shape[-1]
     t_keep = np.asarray([2 * j / (t_full - 1) for j in range(even.shape[-1])])
     t_odd = np.asarray([(2 * j + 1) / (t_full - 1) for j in range(t_full // 2)])
+    # Protocol matches the RESULTS.md headline rows: nested-LOO spatial field
+    # + nested-LOO median shrink, each kept only when the folds say it
+    # transfers (both selections recorded in results.json).
     fused, weights = stacked_fuse(even, t_keep, t_odd,
                                   {n: _missing for n in names},
-                                  cache_dir=cache)
+                                  cache_dir=cache,
+                                  spatial="nested", robust="median_nested")
     weights.pop("_components", None)
     import jax.numpy as jnp
 
@@ -132,7 +136,7 @@ def main(argv=None):
                          "interpolation-protocol scores)")
     ap.add_argument("--budget-s", type=float,
                     default=float(os.environ.get("MRI_TPU_BENCH_BUDGET_S",
-                                                 "420")),
+                                                 "450")),
                     help="global wall-clock budget; side rows whose cost "
                          "estimate exceeds the remaining budget are skipped "
                          "and listed under skipped_rows")
@@ -340,8 +344,8 @@ def main(argv=None):
             ("linear", 20.0, row_linear),
             ("warp_cached", 15.0, row_warp_cached),
             ("ngp", 120.0, row_ngp),
-            ("stacked", 35.0, row_stacked),
-            ("stacked4d", 75.0, row_stacked4d),
+            ("stacked", 55.0, row_stacked),
+            ("stacked4d", 100.0, row_stacked4d),
         ]
         for name, cost, thunk in rows:
             if remaining() < cost:

@@ -556,3 +556,71 @@ def test_fusion_oracles_orders_and_bounds():
     assert o["per_time_simplex"] >= o["global_simplex"] - 1e-6
     assert o["per_time_unconstrained"] >= o["per_time_simplex"] - 1e-6
     assert o["per_voxel_best_family"] >= o["global_simplex"] - 1e-6
+
+
+def test_stacked_fuse_robust_median_shrink_on_outlier_family():
+    # One family is a heavy-tailed per-voxel outlier: the median shrink must
+    # be KEPT by the nested selector and reduce deployment error; a forced
+    # lam follows the same path; lam is recorded in weights["robust"].
+    from mri_interpolation_tpu.train.stacking import stacked_fuse
+
+    rng = np.random.default_rng(5)
+    X, T = 32, 9
+    base = rng.normal(size=(X, X, T)).astype(np.float64)
+    img = np.cumsum(base, axis=-1) * 0.05
+
+    def make_family(kind, seed):
+        def family(train_frames, t_keep, t_eval):
+            out = []
+            for t in np.asarray(t_eval):
+                truth = np.stack([np.interp(t, np.linspace(0, 1, T), img[i, j])
+                                  for i in range(X) for j in range(X)]
+                                 ).reshape(X, X)
+                r = np.random.default_rng((seed + int(t * 1e6)) % 2**31)
+                if kind == "good":
+                    out.append(truth + 0.05 * r.normal(size=(X, X)))
+                else:  # sparse gross outliers the simplex weights can't fix
+                    noise = np.where(r.random((X, X)) < 0.05,
+                                     r.normal(size=(X, X)) * 3.0, 0.0)
+                    out.append(truth + noise)
+            return np.stack(out, axis=-1)
+        return family
+
+    fams = {"a": make_family("good", 1), "b": make_family("good", 2),
+            "c": make_family("outlier", 3)}
+    even = img[..., ::2]
+    t_keep = np.asarray([2 * j / (T - 1) for j in range(even.shape[-1])])
+    t_odd = np.asarray([(2 * j + 1) / (T - 1) for j in range((T - 1) // 2)])
+    odd = img[..., 1::2]
+
+    def mse(x):
+        return float(np.mean((x - odd) ** 2))
+
+    fused0, w0 = stacked_fuse(even, t_keep, t_odd, fams, robust="off")
+    fusedr, wr = stacked_fuse(even, t_keep, t_odd, fams,
+                              robust="median_nested")
+    w0.pop("_components"); wr.pop("_components")
+    assert "robust" not in w0
+    assert wr["robust"]["mode"] == "median_shrink"
+    assert wr["robust"]["lam"] > 0.0                # nested KEPT the shrink
+    assert mse(fusedr) < mse(fused0)
+    fusedf, wf = stacked_fuse(even, t_keep, t_odd, fams, robust=0.5)
+    wf.pop("_components")
+    assert wf["robust"]["lam"] == 0.5
+
+
+def test_stacked_fuse_robust_warns_without_loo():
+    import pytest as _pytest
+
+    from mri_interpolation_tpu.train.stacking import stacked_fuse
+
+    img = np.random.default_rng(0).normal(size=(8, 8, 2)).astype(np.float64)
+
+    def fam(train_frames, t_keep, t_eval):
+        return np.repeat(train_frames[..., :1], len(t_eval), axis=-1)
+
+    with _pytest.warns(UserWarning, match="robust"):
+        fused, w = stacked_fuse(img, np.asarray([0.0, 1.0]),
+                                np.asarray([0.5]), {"a": fam},
+                                robust="median_nested")
+    assert "robust" not in w
