@@ -340,12 +340,22 @@ def main(argv=None):
             img4d = load_volume(SAMPLE).image()
             return _cached_stacked_row(img4d, cache=CACHE_4D)
 
+        def row_pallas_reprobe():
+            # Self-maintaining retirement: re-runs the kernel exec probe
+            # only when jax.__version__ differs from the committed record
+            # (normally a file read, ~0 s). See ops/pallas.maybe_reprobe.
+            from mri_interpolation_tpu.ops.pallas import maybe_reprobe
+
+            ran = maybe_reprobe(timeout_s=min(300.0, max(60.0, remaining())))
+            return {"pallas_reprobed": bool(ran)}
+
         rows = [
             ("linear", 20.0, row_linear),
             ("warp_cached", 15.0, row_warp_cached),
             ("ngp", 120.0, row_ngp),
             ("stacked", 55.0, row_stacked),
             ("stacked4d", 100.0, row_stacked4d),
+            ("pallas_reprobe", 5.0, row_pallas_reprobe),
         ]
         for name, cost, thunk in rows:
             if remaining() < cost:

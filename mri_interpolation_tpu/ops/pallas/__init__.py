@@ -43,6 +43,7 @@ __all__ = [
     "table_fits_vmem",
     "pallas_supported",
     "resolve_fused",
+    "maybe_reprobe",
 ]
 
 
@@ -55,3 +56,58 @@ def resolve_fused(fused: str) -> str:
     if fused not in ("off", "on", "interpret"):
         raise ValueError(f"unknown fused mode {fused!r}")
     return fused
+
+
+def maybe_reprobe(status_path: str = "runs/pallas_exec_status.json",
+                  timeout_s: float = 600.0) -> bool:
+    """Re-run the hardware kernel probe when the JAX stack has changed.
+
+    Status quo (measured, ``runs/pallas_exec_status.json``): the hand
+    kernels LOSE to XLA everywhere they execute on this stack (fused SIREN
+    forward 0.61-0.96x, backward 0.39x, one-hot coarse encode ~0.9x), and
+    the general hashed-gather kernel cannot compile (Mosaic has no vector
+    gather). The transaction-roofline measurement (RESULTS.md) explains
+    why: the train step is bound by random-access transactions that XLA's
+    fused packed gather already pipelines to within ~2x of the measured
+    per-access floor — there is no headroom for a scalar-loop Mosaic
+    kernel to claim. The kernels are therefore RETIRED to oracle-checked
+    prototypes (``fused="auto"`` keeps selecting XLA).
+
+    This hook keeps the retirement honest across toolchain upgrades: when
+    ``jax.__version__`` differs from the recorded probe, the exec benchmark
+    re-runs (subprocess, bounded) and rewrites the record — if a future
+    Mosaic gains vector gather or faster small-matmul lowering, the new
+    numbers surface without anyone remembering to look. Returns True when
+    a reprobe ran."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    import jax
+
+    # Gate on the device platform, not pallas_supported(): on the axon
+    # tunnel the latter is False by design (auto->off), but the exec probe
+    # is exactly the thing that measures whether that should change.
+    if jax.devices()[0].platform != "tpu":
+        return False
+    try:
+        with open(status_path) as f:
+            recorded = json.load(f).get("jax")
+    except (OSError, ValueError):
+        recorded = None
+    if recorded == jax.__version__:
+        return False
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    script = os.path.join(repo, "scripts", "bench_pallas_exec.py")
+    if not os.path.exists(script):
+        return False
+    try:
+        subprocess.run([sys.executable, script], cwd=repo,
+                       timeout=timeout_s, check=False)
+    except subprocess.TimeoutExpired:
+        # a Mosaic launch hang (the pre-2026-08-19 tunnel behavior) — leave
+        # the stale record in place rather than lose it
+        return False
+    return True
