@@ -15,8 +15,12 @@ predictor FAMILIES with decorrelated errors:
                     transfer/group-registration/cubic families (+0.54 dB
                     better anchor than the pairwise registration teacher at
                     the LOO fold positions; the transfer member reuses the
-                    warp fits, so the teacher costs inference only). Best
-                    single family measured: 26.22 dB held-out (RESULTS.md)
+                    warp fits, so the teacher costs inference only)
+- ``warp_distill_fused2``  third-generation distill (round 4): the teacher
+                    widened to five members (both transfer refinements,
+                    both registrations, cubic) — measured +0.29 dB better
+                    pseudo-labels at the deployment times; see RESULTS.md
+                    for the measured family row
 - ``warp_transfer`` the warp-INR's MOTION applied to the observed frames'
                     APPEARANCE (infer/registration.py:motion_transfer_at) —
                     not capped by the INR's own reconstruction error
