@@ -101,6 +101,9 @@ class RunConfig:
     checkpoint_every_epochs: int = 0     # >0: also checkpoint every k epochs
     eval_every_epochs: int = 0           # >0: stream eval PSNR into scalars.jsonl every k epochs
     save_latents: bool = False           # also save encoder latent maps (latents.nii.gz)
+    tb_events: bool = False              # also export scalars.jsonl as a TensorBoard
+                                         # event file under <run_dir>/tb/ (Lightning TB
+                                         # logger parity, models.py:65; train/tb_events.py)
     remat: bool = False                  # rematerialize the forward in backward (memory for FLOPs)
 
     def model_kwargs(self) -> Dict[str, Any]:

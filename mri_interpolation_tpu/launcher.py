@@ -301,6 +301,14 @@ def run(cfg: RunConfig, run_dir: Optional[str] = None) -> dict:
         )
 
     # ----- provenance + metrics + checkpoint
+    if cfg.tb_events:
+        # TensorBoard-compatibility export of the scalar stream (parity with
+        # Lightning's default TB logger, reference models.py:65) — the JSONL
+        # stays the primary artifact, the event file is a view of it
+        from .train.tb_events import export_scalars_jsonl
+
+        export_scalars_jsonl(os.path.join(run_dir, "scalars.jsonl"),
+                             os.path.join(run_dir, "tb"))
     configs.export_to_txt(cfg, run_dir + os.sep)
     summary = {
         "model": model.name,

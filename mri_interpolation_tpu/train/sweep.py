@@ -1,0 +1,213 @@
+"""Hyperparameter search over run configurations.
+
+The reference gestures at this without shipping it: ``GaborNet`` tracks
+``final_loss`` "used for optuna" (/root/reference/models.py:879) but no
+search harness exists in-tree. This module is the working equivalent —
+deterministic random/grid search over any trial function, with a crash-safe
+JSONL trial log (the same resumable-measurement discipline as the stacked
+protocol's caches: a killed sweep resumes where it stopped, re-running
+nothing).
+
+Design notes (TPU-first): trials run SEQUENTIALLY in-process — on a single
+chip the fit itself saturates the device, so trial-level parallelism buys
+nothing; on a pod slice, run one sweep process per host with disjoint
+``seed`` values and merge the JSONL logs. No external dependency (optuna is
+not in the image and random search at these trial counts is within noise of
+TPE for 2-6 dimensional spaces).
+
+Space grammar (plain data, JSON-serializable):
+
+    {"lr": ("log", 1e-4, 1e-1),        # log-uniform float
+     "dim_hidden": ("int", 32, 128),   # uniform integer (inclusive)
+     "sigma": ("lin", 1.0, 20.0),      # uniform float
+     "decoder": ["norm", "relu_plain"]}  # categorical (list)
+
+Usage (library):
+
+    from mri_interpolation_tpu.train.sweep import sweep
+
+    def trial(params):
+        model = make_hash_mlp(dim_in=3, dim_hidden=params["dim_hidden"], ...)
+        res = Trainer(TrainConfig(lr=params["lr"], ...)).fit(model, c, v)
+        return psnr_of(model, res)        # higher is better
+
+    result = sweep(trial, space, n_trials=16, log_path="runs/sweep.jsonl")
+    print(result.best)
+
+Usage (CLI — PSNR objective on a volume, flagship HashMLP family):
+
+    python -m mri_interpolation_tpu.train.sweep \
+        --image_path sample.nii.gz --slice_z 3 --trials 8 --epochs 10 \
+        --space '{"lr": ["log", 1e-3, 3e-2], "n_levels": ["int", 2, 6]}'
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Mapping, Optional, Sequence
+
+import numpy as np
+
+__all__ = ["sample_space", "sweep", "SweepResult", "main"]
+
+
+def _sample_one(rng: np.random.Generator, spec) -> object:
+    """Sample one value from a space entry (see module docstring grammar)."""
+    if isinstance(spec, list) and not (
+            len(spec) == 3 and spec[0] in ("log", "lin", "int")):
+        return spec[int(rng.integers(len(spec)))]
+    kind, lo, hi = spec
+    if kind == "log":
+        return float(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+    if kind == "lin":
+        return float(rng.uniform(lo, hi))
+    if kind == "int":
+        return int(rng.integers(int(lo), int(hi) + 1))
+    raise ValueError(f"unknown space spec {spec!r}")
+
+
+def sample_space(space: Mapping[str, object], trial_idx: int,
+                 seed: int = 0) -> Dict[str, object]:
+    """Deterministic sample for trial ``trial_idx``: the (seed, index) pair
+    fully determines the draw, so a resumed sweep re-proposes IDENTICAL
+    parameters for every trial index — the resume check can match on index
+    alone."""
+    rng = np.random.default_rng((seed, trial_idx))
+    return {k: _sample_one(rng, spec) for k, spec in sorted(space.items())}
+
+
+@dataclass
+class SweepResult:
+    trials: List[dict] = field(default_factory=list)
+
+    @property
+    def best(self) -> Optional[dict]:
+        done = [t for t in self.trials if t.get("score") is not None]
+        return max(done, key=lambda t: t["score"]) if done else None
+
+
+def sweep(
+    trial_fn: Callable[[Dict[str, object]], float],
+    space: Mapping[str, object],
+    n_trials: int = 16,
+    seed: int = 0,
+    log_path: Optional[str] = None,
+    resume: bool = True,
+) -> SweepResult:
+    """Run ``n_trials`` of deterministic random search, maximizing
+    ``trial_fn``'s return value (use ``-loss`` to minimize).
+
+    ``log_path``: JSONL trial log, one line per finished trial
+    ``{"trial": i, "params": {...}, "score": s}``. With ``resume=True``
+    (default), already-logged trial indices are skipped on restart — a
+    crashed 16-trial sweep re-runs only the missing trials (sampling is a
+    pure function of (seed, index), so the skipped trials' parameters are
+    provably the ones already logged). A trial that RAISES is logged with
+    ``score: null`` and the exception string, and the sweep continues —
+    one diverged fit must not lose the night's other fifteen.
+    """
+    result = SweepResult()
+    done_idx = set()
+    if log_path and resume and os.path.exists(log_path):
+        with open(log_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                result.trials.append(rec)
+                done_idx.add(rec["trial"])
+    log_f = open(log_path, "a") if log_path else None
+    try:
+        for i in range(n_trials):
+            if i in done_idx:
+                continue
+            params = sample_space(space, i, seed)
+            rec = {"trial": i, "params": params}
+            try:
+                rec["score"] = float(trial_fn(params))
+            except Exception as e:  # log + continue: see docstring
+                rec["score"] = None
+                rec["error"] = repr(e)[:300]
+            result.trials.append(rec)
+            if log_f is not None:
+                log_f.write(json.dumps(rec) + "\n")
+                log_f.flush()
+    finally:
+        if log_f is not None:
+            log_f.close()
+    result.trials.sort(key=lambda t: t["trial"])
+    return result
+
+
+# ---------------------------------------------------------------------------
+# CLI: PSNR objective on a volume (flagship HashMLP family)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    ap = argparse.ArgumentParser(
+        description="random search over HashMLP hyperparameters, "
+                    "maximizing reconstruction PSNR")
+    ap.add_argument("--image_path", required=True)
+    ap.add_argument("--slice_z", type=int, default=None,
+                    help="take one z slice of a 4D volume (2D+t workload)")
+    ap.add_argument("--trials", type=int, default=8)
+    ap.add_argument("--epochs", type=int, default=10)
+    ap.add_argument("--batch_size", type=int, default=10000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--log_path", default="runs/sweep.jsonl")
+    ap.add_argument("--space", default=json.dumps({
+        "lr": ["log", 1e-3, 3e-2],
+        "n_levels": ["int", 3, 6],
+        "n_features_per_level": [1, 2, 4],
+        "dim_hidden": [32, 64, 128],
+    }), help="JSON space spec (module-docstring grammar)")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from ..infer import evaluate_grid
+    from ..io import load_volume
+    from ..metrics import evaluate_reconstruction
+    from ..models import make_hash_mlp
+    from .trainer import TrainConfig, Trainer
+
+    slice_axes = None
+    if args.slice_z is not None:
+        slice_axes = (slice(None), slice(None), args.slice_z, slice(None))
+    ds = load_volume(args.image_path, slice_axes=slice_axes)
+    space = json.loads(args.space)
+    # JSON has no tuples: a 3-list ["log", lo, hi] is a range spec (the
+    # _sample_one list check already treats it as such)
+
+    def trial(params):
+        model = make_hash_mlp(
+            dim_in=ds.coords.shape[-1],
+            n_levels=int(params.get("n_levels", 4)),
+            n_features_per_level=int(params.get("n_features_per_level", 1)),
+            log2_hashmap_size=int(params.get("log2_hashmap_size", 23)),
+            base_resolution=16,
+            finest_resolution=max(ds.shape),
+            dim_hidden=int(params.get("dim_hidden", 64)),
+            n_layers=int(params.get("n_layers", 2)),
+        )
+        cfg = TrainConfig(batch_size=args.batch_size, epochs=args.epochs,
+                          lr=float(params.get("lr", 5e-3)), seed=1337)
+        res = Trainer(cfg).fit(model, ds.coords, ds.values)
+        recon = evaluate_grid(model, res.params, res.state, ds.shape)
+        q = evaluate_reconstruction(jax.numpy.asarray(recon),
+                                    jax.numpy.asarray(ds.image()),
+                                    data_range=1.0)
+        return q["psnr"]
+
+    result = sweep(trial, space, n_trials=args.trials, seed=args.seed,
+                   log_path=args.log_path)
+    print(json.dumps({"best": result.best,
+                      "n_trials": len(result.trials)}))
+
+
+if __name__ == "__main__":
+    main()
