@@ -15,7 +15,7 @@ fold; no odd-frame ground truth anywhere in selection):
     degenerates to weights proportional to per-family fold correlation),
   * shrink between the global solve and per-position solves.
 
-Usage:  python scripts/stacking_analysis.py [--cache_dir runs/stacked_cache_ep100]
+Usage:  python scripts/stacking_analysis.py [--cache_dir runs/stacked_cache_ep100_anneal]
 
 Prints the nested-score table, the nested-selected configuration, and (only as
 the final diagnostic) each configuration's deployment score against the odd
@@ -92,16 +92,25 @@ def load_folds(cache_dir: str, img: np.ndarray):
     n = train_img.shape[-1]
     t_keep = np.asarray([2 * j / (t_full - 1) for j in range(n)])
     t_odd = np.asarray([(2 * j + 1) / (t_full - 1) for j in range((t_full) // 2)])
-    names = sorted({os.path.basename(p)[len("deploy_"):-4]
-                    for p in glob.glob(os.path.join(cache_dir, "deploy_*.npy"))})
+    from mri_interpolation_tpu.train.stacking import (cached_family_names,
+                                                      has_cached_prediction,
+                                                      load_cached_prediction)
+
+    # shared cache layer (reads both the legacy .npy and the fp16 .npz
+    # layouts; filters crash leftovers)
+    names = cached_family_names(cache_dir)
+    if not names:
+        raise SystemExit(f"no deploy predictions under {cache_dir!r} — pass "
+                         "--cache_dir (e.g. runs/stacked_cache_ep100_anneal)")
     folds = []
     for k in range(1, n - 1):
-        paths = [os.path.join(cache_dir, f"fold{k}_{f}.npy") for f in names]
-        if not all(os.path.exists(p) for p in paths):
+        if not all(has_cached_prediction(cache_dir, f"fold{k}_{f}")
+                   for f in names):
             continue
-        preds = np.stack([np.load(p) for p in paths])
+        preds = np.stack([load_cached_prediction(cache_dir, f"fold{k}_{f}")
+                          for f in names])
         folds.append((t_keep[k], preds, train_img[..., k]))
-    deploy = np.stack([np.load(os.path.join(cache_dir, f"deploy_{f}.npy"))
+    deploy = np.stack([load_cached_prediction(cache_dir, f"deploy_{f}")
                        for f in names])
     return names, folds, deploy, t_odd
 
@@ -310,7 +319,7 @@ def run_uncertainty(names, folds, deploy, t_odd, odd_img,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--cache_dir", default="runs/stacked_cache_ep100")
+    ap.add_argument("--cache_dir", default="runs/stacked_cache_ep100_anneal")
     ap.add_argument("--lams", default="0,0.1,0.3,1,3,10")
     ap.add_argument("--shrinks", default="0,0.25,0.5,0.75,1")
     ap.add_argument("--gated", action="store_true",
