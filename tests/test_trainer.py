@@ -326,3 +326,34 @@ class TestStreamingFit:
         r = Trainer(cfg).fit_streaming(make_siren(dim_in=3, dim_hidden=8, n_layers=2),
                                        ro, shard_voxels=300)
         assert np.isfinite(r.losses).all() and r.losses[-1] < r.losses[0]
+
+
+class TestSteadyRateReconciliation:
+    """steady_steps_per_sec must survive broken tunnel clocks (round 4):
+    when every epoch times near-zero (block_until_ready returning early),
+    the derived rate is reconciled against the total wall instead of
+    reporting a physically impossible number."""
+
+    def _result(self, epoch_times, wall, steps):
+        from mri_interpolation_tpu.train.trainer import TrainResult
+
+        return TrainResult(params=None, state=None, opt_state=None,
+                           losses=np.zeros(steps), wall_time_s=wall,
+                           steps_per_sec=steps / wall, steps=steps,
+                           epoch_times_s=np.asarray(epoch_times))
+
+    def test_healthy_epochs_use_median(self):
+        # 10 epochs x 10 steps; first epoch bears 5s compile, rest 0.1s
+        r = self._result([5.0] + [0.1] * 9, wall=5.9, steps=100)
+        assert r.steady_steps_per_sec == pytest.approx(100.0, rel=0.01)
+
+    def test_broken_clock_falls_back_to_wall(self):
+        # every epoch timed ~0 while the wall absorbed the real 10s:
+        # the naive median rate would be ~10^7 steps/s; the reconciled
+        # rate must stay within 2x of the honest wall rate
+        r = self._result([1e-4] * 10, wall=10.0, steps=100)
+        assert r.steady_steps_per_sec <= 2.0 * (100 / 10.0)
+
+    def test_single_epoch_uses_total_rate(self):
+        r = self._result([2.0], wall=2.0, steps=20)
+        assert r.steady_steps_per_sec == pytest.approx(10.0)
