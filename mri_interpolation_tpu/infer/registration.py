@@ -54,6 +54,8 @@ __all__ = [
 
 def _pinnable(fn):
     """Run a registration solver on the device named by ``MRI_TPU_REG_DEVICE``
+    (axon-worker kernel-fault workaround — tracked for removal:
+    docs/ENVIRONMENT_WORKAROUNDS.md #2)
     (e.g. ``cpu``), falling through to the process default when unset.
 
     Escape hatch for a platform bug observed on the axon TPU stack: the

@@ -183,7 +183,8 @@ def make_warp_inr(
             if warp_smooth > 0.0:
                 # spatial gradient of d via central differences (~1 voxel):
                 # neighboring voxels move together. (A jvp formulation
-                # SIGILLs this environment's XLA TPU fusion pass —
+                # SIGILLs this environment's XLA TPU fusion pass
+                # (tracked for removal: docs/ENVIRONMENT_WORKAROUNDS.md #1) —
                 # finite differences express the same prior with plain ops.)
                 eps = 1.0 / 352.0
                 reg = 0.0

@@ -60,6 +60,8 @@ def pallas_supported() -> bool:
     devices (platform='tpu', str='TPU v5 lite0'), so detect it the way its own
     bootstrap does: the PALLAS_AXON_POOL_IPS env var. Set MIT_FORCE_PALLAS=1
     to override (real TPU VMs), MIT_DISABLE_PALLAS=1 to force off.
+    Tracked: docs/ENVIRONMENT_WORKAROUNDS.md #3 (auto-reprobed on JAX
+    version change by ops.pallas.maybe_reprobe).
     """
     import os
 
