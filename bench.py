@@ -365,7 +365,9 @@ def main(argv=None):
             # (normally a file read, ~0 s). See ops/pallas.maybe_reprobe.
             from mri_interpolation_tpu.ops.pallas import maybe_reprobe
 
-            ran = maybe_reprobe(timeout_s=min(300.0, max(60.0, remaining())))
+            # cap at the remaining budget (no 60 s floor: a probe that needs
+            # more time than the deadline allows must not overrun it)
+            ran = maybe_reprobe(timeout_s=min(300.0, max(1.0, remaining())))
             return {"pallas_reprobed": bool(ran)}
 
         rows = [

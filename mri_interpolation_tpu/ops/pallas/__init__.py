@@ -104,10 +104,18 @@ def maybe_reprobe(status_path: str = "runs/pallas_exec_status.json",
     if not os.path.exists(script):
         return False
     try:
-        subprocess.run([sys.executable, script], cwd=repo,
-                       timeout=timeout_s, check=False)
+        proc = subprocess.run([sys.executable, script], cwd=repo,
+                              timeout=timeout_s, check=False)
     except subprocess.TimeoutExpired:
         # a Mosaic launch hang (the pre-2026-08-19 tunnel behavior) — leave
         # the stale record in place rather than lose it
         return False
-    return True
+    if proc.returncode != 0:
+        # a crashed probe must not read as "reprobed" while the stale record
+        # still carries the old jax version (advisor round 4)
+        return False
+    try:
+        with open(status_path) as f:
+            return json.load(f).get("jax") == jax.__version__
+    except (OSError, ValueError):
+        return False

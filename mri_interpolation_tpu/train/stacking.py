@@ -702,8 +702,38 @@ def _heldout_temporal_weights(folds, shrink: float) -> list:
 _MEDIAN_SHRINK_CANDIDATES = (0.0, 0.25, 0.5, 0.75, 1.0)
 
 
+def _heldout_fused_preds(folds, shrink: float,
+                         spatial_params=None) -> list:
+    """Per-held-fold FUSED prediction built from the other folds only — the
+    same estimator ``stacked_fuse`` will deploy (temporal weights, plus the
+    spatial softmin field when ``spatial_params=(sigma, temp, ss)`` kept
+    one). Shared by the nested median-shrink selector so lam is scored
+    against the predictor actually shipped, not the temporal-only one
+    (advisor round 4)."""
+    wt_h = _heldout_temporal_weights(folds, shrink)
+    nfold = len(folds)
+    sig, temp, ss = spatial_params if spatial_params else (0.0, 0.0, 0.0)
+    sm_all = None
+    if sig > 0.0:
+        errs = [np.asarray((p - t[None]) ** 2, np.float64) for _, p, t in folds]
+        sm_all = np.stack(
+            [np.stack([_gaussian_smooth(e, sig) for e in fe]) for fe in errs])
+    out = []
+    for j, (_, p_h, _) in enumerate(folds):
+        if sig > 0.0:
+            sm = sm_all[[i for i in range(nfold) if i != j]].mean(axis=0)
+            ws = _proj_field(np.moveaxis(
+                np.exp(-sm / (temp * max(sm.mean(), 1e-30))), 0, -1))
+            w = _proj_field((1 - ss) * ws + ss * wt_h[j])
+            out.append(np.einsum("f...,...f->...", p_h, w))
+        else:
+            out.append(np.einsum("f...,f->...", p_h, wt_h[j]))
+    return out
+
+
 def _select_median_shrink_nested(folds, shrink: float,
-                                 lams=_MEDIAN_SHRINK_CANDIDATES) -> float:
+                                 lams=_MEDIAN_SHRINK_CANDIDATES,
+                                 spatial_params=None) -> float:
     """Pick the shrink-toward-median weight by nested leave-one-fold-out.
 
     The solved simplex weights minimize SQUARED error pooled over folds,
@@ -711,20 +741,22 @@ def _select_median_shrink_nested(folds, shrink: float,
     per-voxel outlier at deployment; the per-voxel MEDIAN of the family
     predictions is robust to exactly that. ``(1-lam)*fused + lam*median``
     interpolates between them; lam is selected on the held folds only (the
-    lam=0 temporal-only baseline competes, so the blend is kept only when
-    the folds say it transfers). Measured round 4 on the ankle 2D+t cache:
-    folds select lam>0 and the held-out headline moves +0.08-0.10 dB; no
-    odd-frame data is touched."""
+    lam=0 baseline competes, so the blend is kept only when the folds say
+    it transfers). ``spatial_params``: the (sigma, temp, ss) the spatial
+    selection kept (or None) — the held-fold predictor lam is scored
+    against then includes the same spatial field the deployment fusion
+    will, so selection and deployment see the same estimator. Measured
+    round 4 on the ankle 2D+t cache: folds select lam>0 and the held-out
+    headline moves +0.08-0.10 dB; no odd-frame data is touched."""
     if len(folds) < 2:
         return 0.0
-    wt_h = _heldout_temporal_weights(folds, shrink)
+    fused_h = _heldout_fused_preds(folds, shrink, spatial_params)
     best, best_mse = 0.0, np.inf
     for lam in lams:
         se, n = 0.0, 0
         for j, (_, p_h, tgt_h) in enumerate(folds):
-            fused_h = np.einsum("f...,f->...", p_h, wt_h[j])
             med_h = np.median(p_h, axis=0)
-            pred = (1.0 - lam) * fused_h + lam * med_h
+            pred = (1.0 - lam) * fused_h[j] + lam * med_h
             se += float(np.sum((pred - tgt_h) ** 2))
             n += tgt_h.size
         if se / n < best_mse:
@@ -889,6 +921,7 @@ def stacked_fuse(
         weights = {"global": dict(zip(names, map(float, w_global))),
                    "per_position": {float(t): dict(zip(names, map(float, w)))
                                     for t, w in zip(t_new, w_new)}}
+        spatial_kept = None
         if spatial != "off":
             if spatial == "nested":
                 sig, temp, ss = _select_spatial_nested(folds, shrink)
@@ -896,6 +929,8 @@ def stacked_fuse(
                 sig, temp, ss = spatial
             weights["spatial"] = {"sigma": float(sig), "temp": float(temp),
                                   "spatial_shrink": float(ss)}
+            if sig > 0.0:
+                spatial_kept = (sig, temp, ss)
             if sig > 0.0:
                 ws = spatial_weight_field(folds, sig, temp)  # (spatial..., F)
                 sp = ws.shape[:-1]
@@ -912,7 +947,8 @@ def stacked_fuse(
                     float(t): dict(zip(names, map(float, w)))
                     for t, w in zip(t_new, w_mean)}
         if robust != "off":
-            lam = (_select_median_shrink_nested(folds, shrink)
+            lam = (_select_median_shrink_nested(folds, shrink,
+                                                spatial_params=spatial_kept)
                    if robust == "median_nested" else float(robust))
             weights["robust"] = {"mode": "median_shrink", "lam": lam}
     else:
@@ -970,6 +1006,13 @@ def fusion_uncertainty(preds: np.ndarray, weights: np.ndarray,
     ~0; regions where they diverge (fast motion, through-plane effects) get
     large sigma. ``uncertainty_calibration`` quantifies how well this tracks
     the true error on the held-out protocol.
+
+    Approximation note: when the deployed fusion also applies a
+    median-shrink blend (``robust=``, lam > 0), sigma describes the
+    weighted-mean component only — the median blend moves the point
+    estimate WITHIN the family envelope whose spread sigma measures, so
+    the disagreement scale (what the calibration validates) is unchanged,
+    but sigma is not the exact second moment of the shipped estimator.
     """
     preds = np.asarray(preds, np.float32)
     w = np.asarray(weights, np.float32)

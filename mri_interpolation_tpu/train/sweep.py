@@ -54,10 +54,19 @@ import numpy as np
 __all__ = ["sample_space", "sweep", "SweepResult", "main"]
 
 
+def _is_range_spec(spec) -> bool:
+    """A 3-element ``[kind, lo, hi]`` with NUMERIC bounds is a range spec;
+    anything else (including a categorical whose first element happens to be
+    'log'/'lin'/'int', e.g. a mode-name choice) is a categorical list —
+    advisor round 4."""
+    return (len(spec) == 3 and spec[0] in ("log", "lin", "int")
+            and all(isinstance(v, (int, float)) and not isinstance(v, bool)
+                    for v in spec[1:]))
+
+
 def _sample_one(rng: np.random.Generator, spec) -> object:
     """Sample one value from a space entry (see module docstring grammar)."""
-    if isinstance(spec, list) and not (
-            len(spec) == 3 and spec[0] in ("log", "lin", "int")):
+    if isinstance(spec, list) and not _is_range_spec(spec):
         return spec[int(rng.integers(len(spec)))]
     kind, lo, hi = spec
     if kind == "log":

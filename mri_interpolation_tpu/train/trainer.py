@@ -84,6 +84,10 @@ class TrainResult:
     steps_per_sec: float
     steps: int
     epoch_times_s: np.ndarray = field(default_factory=lambda: np.array([]))
+    # Seconds spent in per-epoch hooks (eval/checkpoint/logging) — part of
+    # wall_time_s but deliberately excluded from epoch_times_s, so the
+    # steady-rate reconciliation must subtract it (see steady_steps_per_sec).
+    hook_time_s: float = 0.0
 
     @property
     def final_loss(self) -> float:
@@ -117,8 +121,12 @@ class TrainResult:
         # tunnel's blocking semantics break wholesale (every epoch times
         # near-zero, the terminal sync absorbs the real work — observed
         # round 4), the per-epoch record is useless; the honest number is
-        # the total-wall rate.
-        post_wall = self.wall_time_s - float(self.epoch_times_s[0])
+        # the total-wall rate. Hook seconds (eval/checkpoint work the epoch
+        # timers exclude by design) are subtracted first so a run with
+        # expensive hooks cannot trip the guard on a healthy clock (advisor
+        # round 4).
+        post_wall = (self.wall_time_s - float(self.epoch_times_s[0])
+                     - self.hook_time_s)
         floor_rate = (self.steps - steps_per_epoch) / max(post_wall, 1e-9)
         if rate > 2.0 * floor_rate:
             rate = floor_rate
@@ -373,6 +381,7 @@ class Trainer:
 
         all_losses = []
         epoch_times = []
+        hook_s = 0.0
         t0 = time.perf_counter()
         for e in range(cfg.epochs):
             key, ek = jax.random.split(key)
@@ -388,7 +397,9 @@ class Trainer:
             losses = np.asarray(jax.device_get(losses))
             epoch_times.append(time.perf_counter() - te)
             all_losses.append(losses)
+            th = time.perf_counter()
             hooks.after_epoch(e, losses, lambda: params, state, opt_state)
+            hook_s += time.perf_counter() - th
         hooks.close()
         jax.block_until_ready(params)
         wall = time.perf_counter() - t0
@@ -404,6 +415,7 @@ class Trainer:
             steps_per_sec=total_steps / wall if wall > 0 else float("inf"),
             steps=total_steps,
             epoch_times_s=np.asarray(epoch_times),
+            hook_time_s=hook_s,
         )
 
     # ------------------------------------------------------------------
@@ -501,6 +513,7 @@ class Trainer:
 
         rng = np.random.default_rng(cfg.seed)
         all_losses, epoch_times = [], []
+        hook_s = 0.0
         t0 = time.perf_counter()
         for e in range(cfg.epochs):
             te = time.perf_counter()
@@ -525,9 +538,11 @@ class Trainer:
             epoch_losses[-1] = np.asarray(jax.device_get(epoch_losses[-1]))
             epoch_times.append(time.perf_counter() - te)
             all_losses.extend(epoch_losses)
+            th = time.perf_counter()
             hooks.after_epoch(
                 e, np.concatenate([np.asarray(l) for l in epoch_losses]),
                 lambda: params, state, opt_state)
+            hook_s += time.perf_counter() - th
         hooks.close()
         jax.block_until_ready(params)
         wall = time.perf_counter() - t0
@@ -543,6 +558,7 @@ class Trainer:
             steps_per_sec=total_steps / wall if wall > 0 else float("inf"),
             steps=total_steps,
             epoch_times_s=np.asarray(epoch_times),
+            hook_time_s=hook_s,
         )
 
     # ------------------------------------------------------------------

@@ -609,6 +609,42 @@ def test_stacked_fuse_robust_median_shrink_on_outlier_family():
     assert wf["robust"]["lam"] == 0.5
 
 
+def test_median_shrink_selected_against_deployed_predictor():
+    # When a spatial field is kept, lam must be scored against the
+    # spatial-fused held-fold predictor, not the temporal-only one (advisor
+    # round 4): with a strong left/right competence split, the spatial field
+    # already fixes most of what the median would — the two selections may
+    # legitimately differ, but both must be valid candidates and the
+    # spatial-conditioned path must run end to end.
+    from mri_interpolation_tpu.train.stacking import (
+        _heldout_fused_preds, _select_median_shrink_nested)
+
+    rng = np.random.default_rng(11)
+    sp = (16, 16)
+    folds = []
+    for k in range(4):
+        tgt = rng.normal(size=sp)
+        p0 = tgt + 0.03 * rng.normal(size=sp)
+        p0[:, 8:] += 0.6 * rng.normal(size=(16, 8))     # bad on the right
+        p1 = tgt + 0.03 * rng.normal(size=sp)
+        p1[:, :8] += 0.6 * rng.normal(size=(16, 8))     # bad on the left
+        p2 = tgt + 0.8 * rng.normal(size=sp)            # outlier family
+        folds.append((k / 4.0, np.stack([p0, p1, p2]), tgt))
+
+    lam_t = _select_median_shrink_nested(folds, 0.5)
+    lam_s = _select_median_shrink_nested(folds, 0.5,
+                                         spatial_params=(2.0, 1.0, 0.3))
+    assert lam_t in (0.0, 0.25, 0.5, 0.75, 1.0)
+    assert lam_s in (0.0, 0.25, 0.5, 0.75, 1.0)
+    # the spatial-conditioned held-fold predictor must beat the
+    # temporal-only one on these folds (that's what conditioning means)
+    pred_t = _heldout_fused_preds(folds, 0.5)
+    pred_s = _heldout_fused_preds(folds, 0.5, (2.0, 1.0, 0.3))
+    mse_t = np.mean([np.mean((p - f[2]) ** 2) for p, f in zip(pred_t, folds)])
+    mse_s = np.mean([np.mean((p - f[2]) ** 2) for p, f in zip(pred_s, folds)])
+    assert mse_s < mse_t
+
+
 def test_stacked_fuse_robust_warns_without_loo():
     import pytest as _pytest
 

@@ -32,6 +32,21 @@ def test_log_sampling_spans_decades():
     assert min(vals) < 1e-3 and max(vals) > 1e-2     # not clumped linearly
 
 
+def test_categorical_of_range_keywords_is_not_a_range():
+    # a 3-element categorical whose first element is 'log'/'lin'/'int' must
+    # sample as a categorical, not crash as a misparsed range spec
+    # (advisor round 4)
+    space = {"mode": ["log", "lin", "int"],
+             "pair": ["int", "a", "b"]}
+    vals = [sample_space(space, i, seed=1) for i in range(40)]
+    assert all(v["mode"] in ("log", "lin", "int") for v in vals)
+    assert all(v["pair"] in ("int", "a", "b") for v in vals)
+    assert len({v["mode"] for v in vals}) == 3       # all arms reachable
+    # bool bounds are not numeric bounds
+    assert sample_space({"x": ["int", True, False]}, 0, seed=0)["x"] in (
+        "int", True, False)
+
+
 def test_sweep_maximizes_and_orders():
     def trial(p):
         return -abs(np.log10(p["lr"]) + 2.0)          # best near lr=1e-2

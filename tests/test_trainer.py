@@ -334,13 +334,14 @@ class TestSteadyRateReconciliation:
     the derived rate is reconciled against the total wall instead of
     reporting a physically impossible number."""
 
-    def _result(self, epoch_times, wall, steps):
+    def _result(self, epoch_times, wall, steps, hook_s=0.0):
         from mri_interpolation_tpu.train.trainer import TrainResult
 
         return TrainResult(params=None, state=None, opt_state=None,
                            losses=np.zeros(steps), wall_time_s=wall,
                            steps_per_sec=steps / wall, steps=steps,
-                           epoch_times_s=np.asarray(epoch_times))
+                           epoch_times_s=np.asarray(epoch_times),
+                           hook_time_s=hook_s)
 
     def test_healthy_epochs_use_median(self):
         # 10 epochs x 10 steps; first epoch bears 5s compile, rest 0.1s
@@ -357,3 +358,18 @@ class TestSteadyRateReconciliation:
     def test_single_epoch_uses_total_rate(self):
         r = self._result([2.0], wall=2.0, steps=20)
         assert r.steady_steps_per_sec == pytest.approx(10.0)
+
+    def test_expensive_hooks_do_not_trip_the_clamp(self):
+        # healthy 0.1s epochs but 9s of per-epoch eval/checkpoint hook work
+        # inside the wall: the floor-rate guard must subtract hook seconds,
+        # not silently replace the true steady rate with a hook-inclusive
+        # number (advisor round 4)
+        r = self._result([5.0] + [0.1] * 9, wall=5.9 + 9.0, steps=100,
+                         hook_s=9.0)
+        assert r.steady_steps_per_sec == pytest.approx(100.0, rel=0.01)
+
+    def test_hooks_plus_broken_clock_still_reconciles(self):
+        # broken clocks AND hook time: the fallback rate uses the
+        # hook-excluded wall
+        r = self._result([1e-4] * 10, wall=14.0, steps=100, hook_s=4.0)
+        assert r.steady_steps_per_sec <= 2.0 * (100 / 10.0)
