@@ -370,6 +370,16 @@ def main(argv=None):
             ran = maybe_reprobe(timeout_s=min(300.0, max(1.0, remaining())))
             return {"pallas_reprobed": bool(ran)}
 
+        def row_workarounds_reprobe():
+            # Version-gated probes for the two remaining tracked environment
+            # workarounds (jvp SIGILL, registration device pin) — a file
+            # read unless jax.__version__ changed. See utils/workarounds.py.
+            from mri_interpolation_tpu.utils import maybe_reprobe_workarounds
+
+            ran = maybe_reprobe_workarounds(
+                timeout_s=min(300.0, max(1.0, remaining())))
+            return {"workarounds_reprobed": bool(ran)}
+
         rows = [
             ("linear", 20.0, row_linear),
             ("warp_cached", 15.0, row_warp_cached),
@@ -378,6 +388,7 @@ def main(argv=None):
             ("stacked4d", 100.0, row_stacked4d),
             ("peak_throughput", 70.0, row_peak_throughput),
             ("pallas_reprobe", 5.0, row_pallas_reprobe),
+            ("workarounds_reprobe", 5.0, row_workarounds_reprobe),
         ]
         for name, cost, thunk in rows:
             if remaining() < cost:

@@ -181,18 +181,42 @@ def make_warp_inr(
             y_pred, new_state = apply(params, state, x, train=train, rng=rng)
             loss = mse_loss(y_pred, y)
             if warp_smooth > 0.0:
-                # spatial gradient of d via central differences (~1 voxel):
-                # neighboring voxels move together. (A jvp formulation
-                # SIGILLs this environment's XLA TPU fusion pass
-                # (tracked for removal: docs/ENVIRONMENT_WORKAROUNDS.md #1) —
-                # finite differences express the same prior with plain ops.)
-                eps = 1.0 / 352.0
+                # spatial Jacobian prior on d: neighboring voxels move
+                # together. A jvp formulation SIGILLs this environment's
+                # XLA TPU fusion pass (tracked for removal:
+                # docs/ENVIRONMENT_WORKAROUNDS.md #1), so central finite
+                # differences (~1 voxel) express the same prior with plain
+                # ops; when the committed probe record shows jvp healthy on
+                # the current jax version (utils.workarounds), the exact
+                # directional derivative is used instead — same prior, one
+                # MLP evaluation per axis instead of two.
+                import os as _os
+
+                from ..utils.workarounds import workaround_active
+
+                _force = _os.environ.get("MRI_TPU_WARP_JVP", "")
+                if _force == "1":
+                    _use_fd = False       # probe hook: force the jvp path
+                elif _force == "0":
+                    _use_fd = True
+                else:
+                    _use_fd = workaround_active("jvp_sigill")
                 reg = 0.0
-                for k in range(s):
-                    e = jnp.zeros((1, dim_in)).at[0, k].set(eps)
-                    e = jnp.broadcast_to(e, x.shape)
-                    gk = (warp_field(params, x + e) - warp_field(params, x - e)) / (2.0 * eps)
-                    reg = reg + jnp.mean(gk**2)
+                if _use_fd:
+                    eps = 1.0 / 352.0
+                    for k in range(s):
+                        e = jnp.zeros((1, dim_in)).at[0, k].set(eps)
+                        e = jnp.broadcast_to(e, x.shape)
+                        gk = (warp_field(params, x + e)
+                              - warp_field(params, x - e)) / (2.0 * eps)
+                        reg = reg + jnp.mean(gk**2)
+                else:
+                    for k in range(s):
+                        e = jnp.zeros((1, dim_in)).at[0, k].set(1.0)
+                        e = jnp.broadcast_to(e, x.shape)
+                        _, gk = jax.jvp(
+                            lambda xx: warp_field(params, xx), (x,), (e,))
+                        reg = reg + jnp.mean(gk**2)
                 loss = loss + warp_smooth * reg
             if warp_accel > 0.0 or (residual_accel > 0.0 and residual_scale > 0.0):
                 # temporal second difference at half-frame spacing: favors

@@ -7,7 +7,10 @@ import os
 import jax
 
 __all__ = ["setup_compilation_cache", "enable_nan_debugging", "capture_trace",
-           "time_fn", "device_count_nonblocking"]
+           "time_fn", "device_count_nonblocking",
+           "maybe_reprobe_workarounds", "workaround_active"]
+
+from .workarounds import maybe_reprobe_workarounds, workaround_active  # noqa: E402
 
 
 def device_count_nonblocking(timeout_s: float = 60.0) -> int:
