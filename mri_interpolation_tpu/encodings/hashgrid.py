@@ -502,7 +502,37 @@ class HashGridEncoding:
             # recompute ids/weights (VPU-cheap) instead of saving (N, Lp, C)
             ids, w = self._packed_ids_weights(xs_saved)
             contrib = (g[:, :, None, :] * w[..., None]).reshape(-1, F)
-            dtable = jnp.zeros((rows_total, F), g.dtype).at[ids.reshape(-1)].add(contrib)
+            flat_ids = ids.reshape(-1)
+            import os as _os
+
+            _layout = _os.environ.get("MRI_TPU_SCATTER_LAYOUT", "auto")
+            _use_flat = (_layout == "flat" or (
+                _layout != "wide"
+                and 1 < F <= 5 and rows_total > (1 << 18)
+                and n * Lp * C >= (1 << 18)))
+            if _use_flat and F > 1:
+                # FLAT element scatter: wide-row scatter-adds hit a measured
+                # ~4.6x per-id cost cliff once the destination exceeds ~2^18
+                # rows (~81 ns/id vs ~17.8 below, F-independent), while
+                # narrow 4-byte scatters stay ~9-12 ns/element at EVERY
+                # table size (bf16 identical -> transaction-driven, not
+                # byte-driven). Expanding each row-update into F element
+                # updates into the flattened (rows*F,) table therefore wins
+                # up to F~5 (isolated: F2 81->25 ns/id, F4 84->49; F8 loses
+                # 87->94) — but only once enough ids amortize the expansion:
+                # in-context crossover measured at ~2^18 scattered ids
+                # (0.78x at 80k ids, 1.4x at 320k, 2.4x at 1.28M on the NGP
+                # F2 config), hence the n*Lp*C gate. The trailing reshape
+                # back to (rows, F) is layout-free. Override with
+                # MRI_TPU_SCATTER_LAYOUT=wide|flat. See RESULTS.md
+                # scatter-pricing table.
+                fi = (flat_ids[:, None] * np.int32(F)
+                      + jnp.arange(F, dtype=flat_ids.dtype)[None, :]).reshape(-1)
+                dtable = (jnp.zeros((rows_total * F,), g.dtype)
+                          .at[fi].add(contrib.reshape(-1))
+                          .reshape(rows_total, F))
+            else:
+                dtable = jnp.zeros((rows_total, F), g.dtype).at[flat_ids].add(contrib)
             return dtable, None  # no dx: coords are data
 
         call.defvjp(fwd, bwd)

@@ -210,6 +210,7 @@ def step_roofline(
     chip: str = "v5e",
     measured_steps_per_sec: Optional[float] = None,
     measured_gather_ns: Optional[float] = None,
+    measured_scatter: Optional[dict] = None,
 ) -> dict:
     """Roofline model of ONE optimizer step of the HashMLP trainer.
 
@@ -279,11 +280,26 @@ def step_roofline(
     # sequential HBM byte rate the classic roofline uses. Count the random
     # accesses per step: per (voxel, level) the cell-view levels do one
     # row-gather, the packed levels 2^d element-gathers; the backward
-    # scatter-adds the same set.
+    # scatter-adds into the same locations.
+    #
+    # Scatter pricing (round-5 reconciliation — the old model priced every
+    # backward access at the GATHER cost, contradicting the repo's own
+    # scatter measurements): measured on this chip, narrow 4-byte
+    # scatter-adds cost ~9-12 ns/ELEMENT at every destination size (bf16
+    # identical -> transaction-driven), while WIDE row scatters (F>1) pay
+    # ~81 ns/id once the destination exceeds ~2^18 rows (~17.8 below). The
+    # encoder's backward runs at the narrow rate by construction: F=1
+    # tables scatter narrow, and F in (2..5] big-table big-batch scatters
+    # use the flat element layout (encodings/hashgrid.py bwd). The floor
+    # therefore prices the packed scatter at ids*F narrow elements; the
+    # regime where the implementation must fall back to a wide scatter
+    # (few ids, where the flat expansion overhead loses) is reported as
+    # ``scatter_layout`` so the table can say which price the step pays.
     n_cv = int(np.sum(enc.level_cellview))
     n_packed = n_levels - n_cv
     fwd_accesses = B * (n_cv + n_packed * corners)
-    random_accesses = 2 * fwd_accesses        # + the backward's scatter-add
+    packed_ids = B * n_packed * corners
+    random_accesses = 2 * fwd_accesses        # legacy field (kept for tools)
 
     out = {
         "chip": chip,
@@ -316,8 +332,48 @@ def step_roofline(
         # the measured per-transaction cost, everything sequential rides the
         # byte rate, compute rides the MXU — take the max.
         seq_bytes = bytes_total - gather_bytes - scatter_bytes
-        t_tx = (random_accesses * measured_gather_ns * 1e-9
-                + seq_bytes / peaks["hbm_bytes_per_s"])
+        if measured_scatter is not None:
+            s = measured_scatter
+            cliff = int(s.get("cliff_rows", 1 << 18))
+            crossover = int(s.get("flat_crossover_ids", 1 << 18))
+            narrow = float(s["narrow_ns"])
+            # packed backward: one fused scatter into the rows_total-row
+            # table. Floor = achievable narrow-element pricing (ids * F);
+            # record which layout the implementation actually selects.
+            t_packed = packed_ids * F * narrow * 1e-9
+            if F == 1:
+                layout = "narrow"
+            elif 1 < F <= 5 and table_rows > cliff and packed_ids >= crossover:
+                layout = "flat"
+            else:
+                layout = "wide"
+                wide_ns = float(s["wide_above_ns" if table_rows > cliff
+                                  else "wide_below_ns"])
+                t_packed = packed_ids * wide_ns * 1e-9
+            # cell-view backward: B row-scatters per cv level into sub-cliff
+            # destinations (cell-view levels are < 2^18 cells by
+            # construction) + the view-adjoint's sequential pass over the
+            # grid (counted in seq below via the cv view bytes).
+            cv_ns = float(s.get("wide_below_ns", narrow)) if F * corners > 1 else narrow
+            t_cv_bwd = B * n_cv * cv_ns * 1e-9
+            # cell-view build (fwd) + adjoint (bwd): sequential traffic over
+            # each cv level's (cells, 2^d * F) view — previously unpriced
+            cv_view_bytes = 2 * sum(
+                int(np.prod(enc.level_resolutions[l])) * corners * F * 4
+                for l in range(n_levels) if enc.level_cellview[l])
+            t_tx = (fwd_accesses * measured_gather_ns * 1e-9
+                    + t_packed + t_cv_bwd
+                    + (seq_bytes + cv_view_bytes) / peaks["hbm_bytes_per_s"])
+            out["scatter_pricing"] = {
+                "layout": layout,
+                "packed_ids": packed_ids,
+                "packed_scatter_s": t_packed,
+                "cellview_bwd_s": t_cv_bwd,
+                "narrow_ns": narrow,
+            }
+        else:
+            t_tx = (random_accesses * measured_gather_ns * 1e-9
+                    + seq_bytes / peaks["hbm_bytes_per_s"])
         t_tx = max(t_tx, t_mxu)
         out["floor_s"]["transaction"] = t_tx
         out["floor_s"]["measured_gather_ns"] = measured_gather_ns

@@ -75,6 +75,8 @@ from .trainer import TrainConfig, Trainer
 
 __all__ = [
     "default_interp_families",
+    "slice4d_families",
+    "slice_affine_norm",
     "simplex_lstsq",
     "loo_fold_predictions",
     "stacked_fuse",
@@ -457,6 +459,113 @@ def default_interp_families(
     return fams
 
 
+def slice_affine_norm(volume4d: np.ndarray, slice2d: np.ndarray,
+                      z: int) -> Tuple[float, float]:
+    """The exact affine map from the 4D volume's normalization to the z-slice
+    protocol's normalization.
+
+    ``load_volume`` min-max normalizes AFTER slicing (io/volume.py), so the
+    2D+t protocol's intensities are ``(raw - min_s)/(max_s - min_s)`` while
+    the 4D protocol's are ``(raw - min_4)/(max_4 - min_4)`` — the two scales
+    differ whenever the volume's extrema live off the slice. Both are affine
+    in raw intensity, so a single (a, b) with
+    ``slice_norm = a * volume_norm[:, :, z, :] + b`` maps between them
+    EXACTLY; it is solved from the two normalized arrays' extrema and
+    verified against every voxel (a failed assert means the inputs are not
+    the same data)."""
+    x = np.asarray(volume4d[:, :, z, :], np.float64)
+    y = np.asarray(slice2d, np.float64)
+    span = x.max() - x.min()
+    if span <= 0:
+        raise ValueError("slice is constant under the 4D normalization")
+    a = (y.max() - y.min()) / span
+    b = y.min() - a * x.min()
+    np.testing.assert_allclose(a * x + b, y, atol=1e-5)
+    return float(a), float(b)
+
+
+def slice4d_families(
+    config4d: TrainConfig,
+    volume4d: np.ndarray,
+    z: int,
+    seeds: Sequence[int] = (1337, 7),
+    include: Sequence[str] = ("warp", "warp_transfer", "warp_transfer_avg",
+                              "warp_distill_fused", "registration",
+                              "registration_group"),
+    cache4d_dir: Optional[str] = None,
+    slice_norm: Optional[Tuple[float, float]] = None,
+    **warp_kwargs,
+) -> Dict[str, FamilyFn]:
+    """Through-plane (z-context) families for the 2D+t protocol.
+
+    The occlusion analysis concluded that through-plane content change is
+    invisible from a single 2D slice BY CONSTRUCTION (RESULTS.md), and the
+    4D protocol — whose families see all z — scores higher held-out. These
+    families feed that context into the 2D+t stack: each wraps a 4D family
+    (``default_interp_families`` on the full (X, Y, Z, T) volume), trains
+    it on the EVEN frames of all z-slices, and deploys its ``z``-slice
+    prediction as a 2D+t family named ``z4d_<name>``.
+
+    Honesty: only even-frame information enters — the wrapper selects
+    frames by the protocol's ``t_keep`` (asserting they are even) and never
+    reads the 4D volume's odd frames — so LOO fold/weight selection stays
+    valid. ``slice_norm`` maps the 4D normalization onto the slice
+    protocol's (``slice_affine_norm``); identity when omitted.
+
+    Intensity-space families (linear/cubic) are pointwise in (x, y, z) and
+    slice to exactly their 2D counterparts, so the default ``include`` is
+    the motion families only — the ones whose 3D deformation fields carry
+    through-plane information a 2D fit cannot have.
+
+    Cache reuse: with ``cache4d_dir`` pointing at the committed 4D protocol
+    cache, fold/deploy calls whose time grids match the 4D protocol's are
+    served from disk (the 2D+t and 4D protocols share the frame axis, so
+    every LOO fold aligns); anything else recomputes the 4D family live.
+    Reference protocol: hash_experimentation.py:313-317."""
+    fams4d = default_interp_families(config4d, volume4d.shape, seeds,
+                                     include=include, **warp_kwargs)
+    a, b = slice_norm if slice_norm is not None else (1.0, 0.0)
+    T = volume4d.shape[-1]
+    n_even = (T + 1) // 2
+
+    def make(name, f4):
+        def family(train_frames, t_keep, t_eval):
+            keep_idx = [int(round(t * (T - 1))) for t in np.asarray(t_keep)]
+            assert all(i % 2 == 0 for i in keep_idx), \
+                f"z4d families are even-frame-only (got frames {keep_idx})"
+            assert train_frames.shape[-1] == len(keep_idx)
+            train4d = volume4d[..., keep_idx]
+            te = np.asarray(t_eval)
+            eval_idx = [int(round(t * (T - 1))) for t in te]
+            key = None
+            if cache4d_dir is not None:
+                if (len(keep_idx) == n_even and len(eval_idx) == T // 2
+                        and all(i % 2 == 1 for i in eval_idx)):
+                    key = f"deploy_{name}"
+                elif (len(eval_idx) == 1 and eval_idx[0] % 2 == 0
+                      and eval_idx[0] not in keep_idx):
+                    # the 4D protocol's LOO fold k holds out kept frame k —
+                    # same time grid, so the cached prediction is this call
+                    key = f"fold{eval_idx[0] // 2}_{name}"
+            if key is not None:
+                # mirror the 4D protocol's cache layout: fold entries are
+                # stored squeezed (loo_fold_predictions stores [..., 0])
+                squeeze = key.startswith("fold")
+                pred4d = _cached_call(
+                    cache4d_dir, key,
+                    lambda: (f4(train4d, t_keep, te)[..., 0] if squeeze
+                             else f4(train4d, t_keep, te)))
+                if squeeze:
+                    pred4d = pred4d[..., None]
+            else:
+                pred4d = np.asarray(f4(train4d, t_keep, te))
+            return (a * pred4d[:, :, z, :] + b).astype(np.float32)
+
+        return family
+
+    return {f"z4d_{name}": make(name, f) for name, f in fams4d.items()}
+
+
 def simplex_lstsq(preds: np.ndarray, target: np.ndarray,
                   iters: int = 500, lr: float = 0.5) -> np.ndarray:
     """min_w ||sum_f w_f preds_f - target||^2, w >= 0, sum w = 1.
@@ -766,11 +875,13 @@ def _select_median_shrink_nested(folds, shrink: float,
 
 # Candidate (sigma, temp, spatial_shrink) grid for the nested-LOO spatial
 # selection, plus the temporal-only baseline (sigma 0 disables the field).
+# The grid was widened in round 5 (sigma 64, temp 8, ss 0.65/0.8) after the
+# z4d-family run selected (32, 4, 0.5) — every knob at the old grid's edge.
 _SPATIAL_CANDIDATES = ((0.0, 0.0, 0.0),) + tuple(
     (sig, temp, ss)
-    for sig in (8.0, 16.0, 32.0)
-    for temp in (1.0, 2.0, 4.0)
-    for ss in (0.2, 0.35, 0.5))
+    for sig in (8.0, 16.0, 32.0, 64.0)
+    for temp in (1.0, 2.0, 4.0, 8.0)
+    for ss in (0.2, 0.35, 0.5, 0.65, 0.8))
 
 
 def _select_spatial_nested(folds, shrink: float) -> Tuple[float, float, float]:

@@ -268,6 +268,28 @@ class TestCellViewSplit:
         g2 = jax.grad(lambda p: jnp.mean((enc_split.apply(p, x) - y) ** 2))(params)["table"]
         np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), atol=1e-6)
 
+    def test_flat_and_wide_scatter_layouts_give_identical_grads(self, monkeypatch):
+        # the flat element-scatter backward (auto-selected for F>1, big
+        # tables, big id counts — a measured TPU cliff workaround, round 5)
+        # must be gradient-identical to the wide row-scatter
+        kw = dict(dim=3, n_levels=2, n_features_per_level=2,
+                  log2_hashmap_size=14, base_resolution=4, finest_resolution=24)
+        enc = HashGridEncoding(cell_view_max_cells=10, **kw)
+        assert not enc.level_cellview.all()
+        params = enc.init(jax.random.key(5))
+        x = jax.random.uniform(jax.random.key(6), (400, 3))
+        y = jax.random.normal(jax.random.key(7), (400, enc.output_dim))
+
+        def grad_with(layout):
+            monkeypatch.setenv("MRI_TPU_SCATTER_LAYOUT", layout)
+            return jax.grad(
+                lambda p: jnp.mean((enc.apply(p, x) - y) ** 2))(params)["table"]
+
+        g_wide, g_flat = grad_with("wide"), grad_with("flat")
+        assert not np.allclose(np.asarray(g_wide), 0.0)
+        np.testing.assert_allclose(np.asarray(g_flat), np.asarray(g_wide),
+                                   atol=1e-7)
+
 
 class TestPacked4D:
     @pytest.mark.slow

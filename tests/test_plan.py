@@ -127,3 +127,74 @@ def test_launcher_plan_respects_slice_and_protocol_flags(tmp_path, capsys):
           "--slice_z", "2", "--undersample_pct", "50"])
     out = json.loads(capsys.readouterr().out)
     assert out["bytes"]["dataset"] == int(16 * 16 * 6 * 0.5) * 4 * 4
+
+
+# ---------------------------------------------------------------------------
+# step_roofline scatter pricing (round-5 reconciliation: the backward scatter
+# is priced at its MEASURED cost, not the gather cost)
+
+_SCATTER = {"narrow_ns": 12.0, "wide_below_ns": 17.8, "wide_above_ns": 81.0,
+            "cliff_rows": 1 << 18, "flat_crossover_ids": 1 << 18}
+
+
+def _roofline(**kw):
+    from mri_interpolation_tpu.plan import step_roofline
+
+    base = dict(dim_in=3, n_levels=3, n_features_per_level=2,
+                log2_hashmap_size=23, base_resolution=(64, 64, 5),
+                finest_resolution=(352, 352, 15), growth="paper",
+                dim_hidden=64, n_layers=2, decoder="relu_plain",
+                measured_gather_ns=9.1, measured_scatter=_SCATTER)
+    base.update(kw)
+    return base, step_roofline(**base)
+
+
+def test_scatter_pricing_layouts_follow_the_implementation():
+    # F=1 -> narrow everywhere
+    _, rl = _roofline(n_features_per_level=1, batch_size=10_000)
+    assert rl["scatter_pricing"]["layout"] == "narrow"
+    # F=2, big fused table, few ids -> wide (the flat expansion loses there)
+    _, rl = _roofline(batch_size=10_000)
+    assert rl["scatter_pricing"]["layout"] == "wide"
+    # F=2, big fused table, many ids -> flat
+    _, rl = _roofline(batch_size=160_000)
+    assert rl["scatter_pricing"]["layout"] == "flat"
+    # F=8 -> wide (flat measured slower at F=8)
+    _, rl = _roofline(n_features_per_level=8, batch_size=160_000)
+    assert rl["scatter_pricing"]["layout"] == "wide"
+
+
+def test_wide_cliff_prices_higher_than_flat():
+    # identical config/batch: the wide-above-cliff price must exceed the
+    # flat narrow-element price (that gap is the measured 1.30x lever)
+    _, rl_flat = _roofline(batch_size=160_000)
+    kw, _ = _roofline(batch_size=160_000)
+    kw["measured_scatter"] = dict(_SCATTER, flat_crossover_ids=1 << 60)
+    from mri_interpolation_tpu.plan import step_roofline
+
+    rl_wide = step_roofline(**kw)
+    assert rl_wide["scatter_pricing"]["layout"] == "wide"
+    assert (rl_wide["scatter_pricing"]["packed_scatter_s"]
+            > rl_flat["scatter_pricing"]["packed_scatter_s"])
+    assert (rl_wide["floor_s"]["transaction"]
+            > rl_flat["floor_s"]["transaction"])
+
+
+def test_transaction_floor_without_scatter_dict_is_legacy():
+    kw, rl = _roofline(batch_size=10_000)
+    kw["measured_scatter"] = None
+    from mri_interpolation_tpu.plan import step_roofline
+
+    legacy = step_roofline(**kw)
+    assert "scatter_pricing" not in legacy
+    assert "transaction" in legacy["floor_s"]
+    # the reconciled floor differs from the legacy gather-priced one
+    assert rl["floor_s"]["transaction"] != legacy["floor_s"]["transaction"]
+
+
+def test_scatter_floor_scales_with_batch():
+    _, a = _roofline(batch_size=160_000)
+    _, b = _roofline(batch_size=640_000)
+    assert (b["scatter_pricing"]["packed_scatter_s"]
+            == pytest.approx(4 * a["scatter_pricing"]["packed_scatter_s"]))
+    assert b["floor_s"]["transaction"] > a["floor_s"]["transaction"]
