@@ -34,11 +34,19 @@ Usage (library):
     result = sweep(trial, space, n_trials=16, log_path="runs/sweep.jsonl")
     print(result.best)
 
-Usage (CLI — PSNR objective on a volume, flagship HashMLP family):
+Usage (CLI — reconstruction-PSNR objective, flagship HashMLP family):
 
     python -m mri_interpolation_tpu.train.sweep \
         --image_path sample.nii.gz --slice_z 3 --trials 8 --epochs 10 \
         --space '{"lr": ["log", 1e-3, 3e-2], "n_levels": ["int", 2, 6]}'
+
+Usage (CLI — the HEADLINE objective: held-out odd-frame PSNR of the
+4-seed-ensembled warp INR, sweeping its measured levers):
+
+    python -m mri_interpolation_tpu.train.sweep \
+        --image_path sample.nii.gz --slice_z 3 --model_class warp_inr \
+        --objective odd_frames --ens_seeds 4 --trials 12 --epochs 100 \
+        --log_path runs/sweep_warp.jsonl
 """
 
 from __future__ import annotations
@@ -153,27 +161,53 @@ def sweep(
 
 
 # ---------------------------------------------------------------------------
-# CLI: PSNR objective on a volume (flagship HashMLP family)
+# CLI: PSNR objectives on a volume
+#
+# --objective recon       reconstruction PSNR of the full fitted volume
+# --objective odd_frames  the framework's HEADLINE number: train on even
+#                         frames, score the held-out odd frames
+#                         (train.protocols.even_frame_fit_eval /
+#                         ensembled_warp_fit_eval — the reference protocol at
+#                         hash_experimentation.py:313-317)
+# --model_class hash_mlp | warp_inr
+
+_WARP_SPACE = {
+    "lr": ["log", 3e-3, 3e-2],
+    "warp_accel": ["lin", 0.0, 3.0],
+    "level_anneal_steps": ["int", 0, 1800],
+    "residual_scale": ["lin", 0.0, 0.15],
+}
+
+_HASH_SPACE = {
+    "lr": ["log", 1e-3, 3e-2],
+    "n_levels": ["int", 3, 6],
+    "n_features_per_level": [1, 2, 4],
+    "dim_hidden": [32, 64, 128],
+}
 
 
 def main(argv: Optional[Sequence[str]] = None) -> None:
     ap = argparse.ArgumentParser(
-        description="random search over HashMLP hyperparameters, "
-                    "maximizing reconstruction PSNR")
+        description="deterministic random search over model hyperparameters")
     ap.add_argument("--image_path", required=True)
     ap.add_argument("--slice_z", type=int, default=None,
                     help="take one z slice of a 4D volume (2D+t workload)")
+    ap.add_argument("--model_class", default="hash_mlp",
+                    choices=["hash_mlp", "warp_inr"])
+    ap.add_argument("--objective", default="recon",
+                    choices=["recon", "odd_frames"])
+    ap.add_argument("--ens_seeds", type=int, default=1,
+                    help="with odd_frames: seed-ensemble width per trial "
+                         "(the headline warp rows are 4-seed ensembles)")
     ap.add_argument("--trials", type=int, default=8)
     ap.add_argument("--epochs", type=int, default=10)
     ap.add_argument("--batch_size", type=int, default=10000)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_path", default="runs/sweep.jsonl")
-    ap.add_argument("--space", default=json.dumps({
-        "lr": ["log", 1e-3, 3e-2],
-        "n_levels": ["int", 3, 6],
-        "n_features_per_level": [1, 2, 4],
-        "dim_hidden": [32, 64, 128],
-    }), help="JSON space spec (module-docstring grammar)")
+    ap.add_argument("--space", default=None,
+                    help="JSON space spec (module-docstring grammar); "
+                         "default: a per-model-class space over its "
+                         "measured levers")
     args = ap.parse_args(argv)
 
     import jax
@@ -181,19 +215,40 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     from ..infer import evaluate_grid
     from ..io import load_volume
     from ..metrics import evaluate_reconstruction
-    from ..models import make_hash_mlp
+    from ..models import make_hash_mlp, make_warp_inr
+    from .protocols import ensembled_warp_fit_eval, even_frame_fit_eval
     from .trainer import TrainConfig, Trainer
 
     slice_axes = None
     if args.slice_z is not None:
         slice_axes = (slice(None), slice(None), args.slice_z, slice(None))
     ds = load_volume(args.image_path, slice_axes=slice_axes)
-    space = json.loads(args.space)
-    # JSON has no tuples: a 3-list ["log", lo, hi] is a range spec (the
-    # _sample_one list check already treats it as such)
+    img = ds.image()
+    if args.space is not None:
+        space = json.loads(args.space)
+    else:
+        space = _WARP_SPACE if args.model_class == "warp_inr" else _HASH_SPACE
+    # JSON has no tuples: a 3-list ["log", lo, hi] with numeric bounds is a
+    # range spec (the _sample_one check)
 
-    def trial(params):
-        model = make_hash_mlp(
+    def make_model(params):
+        if args.model_class == "warp_inr":
+            # the stacked protocol's hand-tuned base (train/stacking.py
+            # default_interp_families) with the sweepable levers on top
+            return make_warp_inr(
+                dim_in=ds.coords.shape[-1], n_levels=4,
+                n_features_per_level=4, log2_hashmap_size=23,
+                base_resolution=tuple(min(64, s) for s in ds.shape[:-1]),
+                finest_resolution=tuple(ds.shape[:-1]),
+                dim_hidden=64, n_layers=2, warp_hidden=64, warp_layers=3,
+                warp_w0=float(params.get("warp_w0", 5.0)),
+                warp_scale=0.05,
+                warp_accel=float(params.get("warp_accel", 1.0)),
+                warp_smooth=float(params.get("warp_smooth", 0.0)),
+                residual_scale=float(params.get("residual_scale", 0.05)),
+                level_anneal_steps=int(params.get("level_anneal_steps", 0)),
+            )
+        return make_hash_mlp(
             dim_in=ds.coords.shape[-1],
             n_levels=int(params.get("n_levels", 4)),
             n_features_per_level=int(params.get("n_features_per_level", 1)),
@@ -203,12 +258,31 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
             dim_hidden=int(params.get("dim_hidden", 64)),
             n_layers=int(params.get("n_layers", 2)),
         )
-        cfg = TrainConfig(batch_size=args.batch_size, epochs=args.epochs,
-                          lr=float(params.get("lr", 5e-3)), seed=1337)
-        res = Trainer(cfg).fit(model, ds.coords, ds.values)
+
+    def config(params, seed=1337):
+        if args.model_class == "warp_inr":
+            return TrainConfig(batch_size=args.batch_size, epochs=args.epochs,
+                               lr=float(params.get("lr", 1e-2)), seed=seed,
+                               optimizer="adam_tcnn", lr_schedule="cosine",
+                               cosine_t_max=args.epochs, weight_decay=1e-5)
+        return TrainConfig(batch_size=args.batch_size, epochs=args.epochs,
+                           lr=float(params.get("lr", 5e-3)), seed=seed)
+
+    def trial(params):
+        if args.objective == "odd_frames":
+            if args.ens_seeds > 1:
+                seeds = (1337, 7, 23, 99, 3, 17, 41, 71)[:args.ens_seeds]
+                q = ensembled_warp_fit_eval(lambda: make_model(params), img,
+                                            config(params), seeds=seeds)
+            else:
+                _, q = even_frame_fit_eval(make_model(params), img,
+                                           config(params))
+            return q["odd"]["psnr"]
+        model = make_model(params)
+        res = Trainer(config(params)).fit(model, ds.coords, ds.values)
         recon = evaluate_grid(model, res.params, res.state, ds.shape)
         q = evaluate_reconstruction(jax.numpy.asarray(recon),
-                                    jax.numpy.asarray(ds.image()),
+                                    jax.numpy.asarray(img),
                                     data_range=1.0)
         return q["psnr"]
 

@@ -118,3 +118,46 @@ def test_cli_end_to_end_on_synthetic_volume(tmp_path):
         recs = [json.loads(l) for l in f]
     assert len(recs) == 2
     assert all(r["score"] is not None for r in recs)
+
+
+@pytest.mark.slow
+def test_cli_warp_odd_frames_objective(tmp_path):
+    # the headline objective (held-out odd-frame PSNR) on the warp INR:
+    # tiny synthetic 2D+t volume, 1 trial, single seed
+    from mri_interpolation_tpu.io import synthetic_volume
+    from mri_interpolation_tpu.io.nifti import save as nifti_save
+    from mri_interpolation_tpu.train.sweep import main
+
+    vol = np.asarray(synthetic_volume((10, 10, 7)), np.float32)
+    path = str(tmp_path / "vol.nii.gz")
+    nifti_save(vol, path)
+    log = str(tmp_path / "sweep_warp.jsonl")
+    main(["--image_path", path, "--model_class", "warp_inr",
+          "--objective", "odd_frames", "--trials", "1", "--epochs", "2",
+          "--batch_size", "128", "--log_path", log,
+          "--space", json.dumps({"lr": ["log", 5e-3, 2e-2],
+                                 "warp_accel": ["lin", 0.0, 2.0]})])
+    with open(log) as f:
+        recs = [json.loads(l) for l in f]
+    assert len(recs) == 1 and recs[0]["score"] is not None
+    assert "warp_accel" in recs[0]["params"]
+
+
+@pytest.mark.slow
+def test_cli_warp_ensembled_objective(tmp_path):
+    from mri_interpolation_tpu.io import synthetic_volume
+    from mri_interpolation_tpu.io.nifti import save as nifti_save
+    from mri_interpolation_tpu.train.sweep import main
+
+    vol = np.asarray(synthetic_volume((8, 8, 5)), np.float32)
+    path = str(tmp_path / "vol.nii.gz")
+    nifti_save(vol, path)
+    log = str(tmp_path / "sweep_we.jsonl")
+    main(["--image_path", path, "--model_class", "warp_inr",
+          "--objective", "odd_frames", "--ens_seeds", "2",
+          "--trials", "1", "--epochs", "2", "--batch_size", "64",
+          "--log_path", log,
+          "--space", json.dumps({"lr": ["log", 5e-3, 2e-2]})])
+    with open(log) as f:
+        recs = [json.loads(l) for l in f]
+    assert len(recs) == 1 and recs[0]["score"] is not None
