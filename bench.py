@@ -90,13 +90,29 @@ def _cached_stacked_row(img, cache=CACHE_2DT):
     which lets the driver-recorded bench carry the framework's actual
     held-out headline (RESULTS.md protocol table) instead of only the
     single-model rows. Returns None (row skipped) when the cache is absent
-    or incomplete."""
+    or incomplete.
+
+    The roster is the protocol's DEFAULT stack (round-5 pruning — the
+    caches also hold the measured-and-pruned zero-weight families, which
+    are not part of the shipped estimator); if any default member is
+    missing from the cache, falls back to every cached family."""
     from mri_interpolation_tpu.metrics import evaluate_reconstruction
-    from mri_interpolation_tpu.train.stacking import (cached_family_names,
+    from mri_interpolation_tpu.train.stacking import (DEFAULT_STACK_2DT,
+                                                      DEFAULT_STACK_4D,
+                                                      DEFAULT_STACK_Z4D,
+                                                      cached_family_names,
                                                       has_cached_prediction,
                                                       stacked_fuse)
 
-    names = cached_family_names(cache)
+    if img.ndim == 4:
+        default = list(DEFAULT_STACK_4D)
+    else:
+        default = list(DEFAULT_STACK_2DT) + [
+            f"z4d_{n}" for n in DEFAULT_STACK_Z4D]
+    if all(has_cached_prediction(cache, f"deploy_{n}") for n in default):
+        names = default
+    else:
+        names = cached_family_names(cache)
     n_even = (img.shape[-1] + 1) // 2
     if not names or any(
             not has_cached_prediction(cache, f"fold{k}_{n}")

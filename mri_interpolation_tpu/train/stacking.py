@@ -74,6 +74,10 @@ from ..metrics import evaluate_reconstruction
 from .trainer import TrainConfig, Trainer
 
 __all__ = [
+    "DEFAULT_INTERP_INCLUDE",
+    "DEFAULT_STACK_2DT",
+    "DEFAULT_STACK_Z4D",
+    "DEFAULT_STACK_4D",
     "default_interp_families",
     "slice4d_families",
     "slice_affine_norm",
@@ -89,6 +93,33 @@ __all__ = [
 ]
 
 FamilyFn = Callable[[np.ndarray, np.ndarray, np.ndarray], np.ndarray]
+
+# Default family rosters (round-5 pruning, VERDICT r4 Next #3). Selected by
+# a cache-driven subset search over the committed fold/deploy predictions
+# (scored via the honest nested-LOO protocol — see CHANGES.md round 5):
+# three rounds of measurement left 7+ families at zero global LOO weight,
+# and dropping them costs nothing (2D+t head-to-head: slim set 26.445 dB vs
+# 26.427 all-23) while cutting protocol wall-clock (8 fewer 100-epoch warp
+# fits per protocol run). Every pruned family remains constructible via
+# ``include=`` / ``include="all"``; their negative results stay documented
+# in RESULTS.md.
+#
+# The 2D-only default (no 4D volume available):
+DEFAULT_INTERP_INCLUDE = (
+    "warp_distill", "warp_distill_fused", "warp_distill_fused2",
+    "warp_transfer", "registration", "registration_group",
+    "registration_cubic", "cubic")
+# The 2D members of the z4d headline stack (run with DEFAULT_STACK_Z4D):
+DEFAULT_STACK_2DT = (
+    "warp_distill", "warp_distill_fused2", "warp_transfer",
+    "registration", "registration_cubic", "cubic")
+# The through-plane members (slice4d_families 4D names, measured winners):
+DEFAULT_STACK_Z4D = ("warp_transfer", "warp_distill_fused", "registration")
+# The 4D protocol's default roster (the 10-family all-cache variant scores
+# LOWER — 26.59 vs 26.67 — so the transfer-res additions stay non-default):
+DEFAULT_STACK_4D = (
+    "warp", "warp_transfer", "warp_transfer_avg", "warp_distill_fused",
+    "registration", "registration_group", "cubic", "linear")
 
 # The warp and warp_transfer families train IDENTICAL models (same kwargs,
 # same seeds, same kept-frame data) and differ only in how predictions are
@@ -391,8 +422,12 @@ def default_interp_families(
     **warp_kwargs,
 ) -> Dict[str, FamilyFn]:
     """The measured family set for the ankle workload (see RESULTS.md).
-    ``include`` restricts to a subset by name (e.g. the 4D protocol drops the
-    second/third warp variants to bound compute).
+
+    ``include=None`` (default) returns ``DEFAULT_INTERP_INCLUDE`` — the
+    pruned roster the subset search kept (round 5; headline within 0.005 dB
+    of the full set at a fraction of the fit budget). ``include="all"``
+    returns every family ever measured (the zero-weight ones included);
+    a sequence of names selects exactly those.
 
     ``warp_kwargs`` forwards to every warp-INR family; ``warp_w0`` /
     ``warp_accel`` override the primary families' defaults (5.0 / 1.0) but
@@ -454,7 +489,9 @@ def default_interp_families(
         "cubic": _cubic_family(),
         "linear": _linear_family(),
     }
-    if include is not None:
+    if include is None:
+        include = DEFAULT_INTERP_INCLUDE
+    if include != "all":
         fams = {name: fams[name] for name in include}
     return fams
 
@@ -489,9 +526,7 @@ def slice4d_families(
     volume4d: np.ndarray,
     z: int,
     seeds: Sequence[int] = (1337, 7),
-    include: Sequence[str] = ("warp", "warp_transfer", "warp_transfer_avg",
-                              "warp_distill_fused", "registration",
-                              "registration_group"),
+    include: Sequence[str] = DEFAULT_STACK_Z4D,
     cache4d_dir: Optional[str] = None,
     slice_norm: Optional[Tuple[float, float]] = None,
     **warp_kwargs,
@@ -513,9 +548,12 @@ def slice4d_families(
     protocol's (``slice_affine_norm``); identity when omitted.
 
     Intensity-space families (linear/cubic) are pointwise in (x, y, z) and
-    slice to exactly their 2D counterparts, so the default ``include`` is
-    the motion families only — the ones whose 3D deformation fields carry
-    through-plane information a 2D fit cannot have.
+    slice to exactly their 2D counterparts, so only motion families belong
+    here — the ones whose 3D deformation fields carry through-plane
+    information a 2D fit cannot have. The default ``include`` is
+    ``DEFAULT_STACK_Z4D``, the three the round-5 subset search kept
+    (z4d_warp / z4d_warp_transfer_avg / z4d_registration_group and both
+    transfer-res refinements measured in and pruned at zero weight).
 
     Cache reuse: with ``cache4d_dir`` pointing at the committed 4D protocol
     cache, fold/deploy calls whose time grids match the 4D protocol's are

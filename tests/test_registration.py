@@ -370,7 +370,8 @@ def test_warp_transfer_cubic_in_default_families():
     from mri_interpolation_tpu.train import TrainConfig
     from mri_interpolation_tpu.train.stacking import default_interp_families
 
-    fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9))
+    fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9),
+                                   include="all")
     assert "warp_transfer_cubic" in fams
 
 
@@ -418,7 +419,8 @@ def test_warp_transfer_res_in_default_families():
     from mri_interpolation_tpu.train import TrainConfig
     from mri_interpolation_tpu.train.stacking import default_interp_families
 
-    fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9))
+    fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9),
+                                   include="all")
     assert "warp_transfer_res" in fams
 
 

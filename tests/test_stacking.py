@@ -381,14 +381,16 @@ def test_warp_transfer_avg_single_seed_matches_per_seed():
 def test_warp_transfer_avg_in_default_families():
     from mri_interpolation_tpu.train.stacking import default_interp_families
 
-    fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9))
+    fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9),
+                                   include="all")
     assert "warp_transfer_avg" in fams
 
 
 def test_warp_transfer_res_cubic_in_default_families():
     from mri_interpolation_tpu.train.stacking import default_interp_families
 
-    fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9))
+    fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9),
+                                   include="all")
     assert "warp_transfer_res_cubic" in fams
 
 
@@ -457,7 +459,7 @@ def test_default_families_accept_w0_accel_passthrough():
     from mri_interpolation_tpu.train.stacking import default_interp_families
 
     fams = default_interp_families(TrainConfig(epochs=1), (16, 16, 9),
-                                   warp_w0=4.0, warp_accel=2.0)
+                                   include="all", warp_w0=4.0, warp_accel=2.0)
     assert "warp" in fams and "warp_noaccel" in fams
 
 
