@@ -662,3 +662,105 @@ def test_stacked_fuse_robust_warns_without_loo():
                                 np.asarray([0.5]), {"a": fam},
                                 robust="median_nested")
     assert "robust" not in w
+
+
+# ---------------------------------------------------------------------------
+# slice4d_families — through-plane (z-context) adapters (round 5)
+
+
+def test_slice_affine_norm_exact_map():
+    from mri_interpolation_tpu.io.volume import normalize_intensity
+    from mri_interpolation_tpu.train.stacking import slice_affine_norm
+
+    rng = np.random.default_rng(0)
+    raw = rng.uniform(100.0, 900.0, size=(6, 6, 4, 5))
+    raw[0, 0, 0, 0] = 1000.0          # global max off the z=2 slice
+    vol_n = normalize_intensity(raw)
+    slc_n = normalize_intensity(raw[:, :, 2, :])
+    a, b = slice_affine_norm(vol_n, slc_n, 2)
+    np.testing.assert_allclose(a * vol_n[:, :, 2, :] + b, slc_n, atol=1e-5)
+    assert a > 1.0                     # slice has narrower raw range
+
+
+def test_slice_affine_norm_rejects_mismatched_data():
+    from mri_interpolation_tpu.train.stacking import slice_affine_norm
+
+    rng = np.random.default_rng(1)
+    vol = rng.random((5, 5, 3, 4))
+    with pytest.raises(AssertionError):
+        slice_affine_norm(vol, rng.random((5, 5, 4)), 1)
+
+
+def _fake_4d_family_env(tmp_path):
+    """A tiny synthetic 4D setup: T=5 frames, slice z=1, a recording family."""
+    rng = np.random.default_rng(2)
+    vol = rng.random((6, 6, 3, 5)).astype(np.float32)
+    calls = []
+
+    def fake_builder(config, eval_shape, seeds, include=None, **kw):
+        def family(train_frames, t_keep, t_eval):
+            calls.append((train_frames.shape, tuple(np.round(t_keep, 3)),
+                          tuple(np.round(t_eval, 3))))
+            # prediction = mean of the kept frames, broadcast over t_eval
+            m = train_frames.mean(axis=-1, keepdims=True)
+            return np.repeat(m, len(t_eval), axis=-1)
+
+        return {n: family for n in (include or ("warp",))}
+
+    return vol, calls, fake_builder
+
+
+def test_slice4d_family_protocol_alignment_and_honesty(tmp_path, monkeypatch):
+    from mri_interpolation_tpu.train import stacking
+
+    vol, calls, fake_builder = _fake_4d_family_env(tmp_path)
+    monkeypatch.setattr(stacking, "default_interp_families", fake_builder)
+    fams = stacking.slice4d_families(
+        TrainConfig(epochs=1), vol, z=1, include=("warp",),
+        cache4d_dir=str(tmp_path / "c4d"))
+    assert list(fams) == ["z4d_warp"]
+    T = vol.shape[-1]                  # 5 frames; even keep = 0,2,4
+    t_keep = np.asarray([0.0, 0.5, 1.0])
+    t_odd = np.asarray([0.25, 0.75])
+    train2d = vol[:, :, 1, ::2]
+
+    # deploy call: full even set -> odd times; caches under deploy_warp
+    pred = fams["z4d_warp"](train2d, t_keep, t_odd)
+    assert pred.shape == (6, 6, 2)
+    # the 4D family saw the 4D even-frame volume, not the slice
+    assert calls[-1][0] == (6, 6, 3, 3)
+    assert stacking.has_cached_prediction(str(tmp_path / "c4d"), "deploy_warp")
+    # expected value: z-slice of the kept-frames mean (affine = identity)
+    want = np.repeat(vol[:, :, :, ::2].mean(axis=-1, keepdims=True)[:, :, 1],
+                     2, axis=-1)
+    np.testing.assert_allclose(pred, want, atol=1e-3)  # fp16 cache roundtrip
+
+    # LOO fold call: held even frame 2 (t=0.5) -> fold1 key, squeezed layout
+    n_call = len(calls)
+    pred_f = fams["z4d_warp"](vol[:, :, 1, [0, 4]], np.asarray([0.0, 1.0]),
+                              np.asarray([0.5]))
+    assert pred_f.shape == (6, 6, 1)
+    assert stacking.has_cached_prediction(str(tmp_path / "c4d"), "fold1_warp")
+    # replay from cache: no new family call
+    fams["z4d_warp"](vol[:, :, 1, [0, 4]], np.asarray([0.0, 1.0]),
+                     np.asarray([0.5]))
+    assert len(calls) == n_call + 1
+
+    # honesty: odd kept frames are rejected
+    with pytest.raises(AssertionError, match="even-frame-only"):
+        fams["z4d_warp"](vol[:, :, 1, [1, 3]], np.asarray([0.25, 0.75]),
+                         np.asarray([0.5]))
+
+
+def test_slice4d_applies_affine_norm(tmp_path, monkeypatch):
+    from mri_interpolation_tpu.train import stacking
+
+    vol, _, fake_builder = _fake_4d_family_env(tmp_path)
+    monkeypatch.setattr(stacking, "default_interp_families", fake_builder)
+    fams = stacking.slice4d_families(
+        TrainConfig(epochs=1), vol, z=1, include=("warp",),
+        slice_norm=(2.0, -0.5))
+    pred = fams["z4d_warp"](vol[:, :, 1, ::2], np.asarray([0.0, 0.5, 1.0]),
+                            np.asarray([0.25]))
+    want = 2.0 * vol[:, :, :, ::2].mean(axis=-1)[:, :, 1] - 0.5
+    np.testing.assert_allclose(pred[..., 0], want, atol=1e-6)
