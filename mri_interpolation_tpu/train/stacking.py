@@ -46,6 +46,16 @@ predictor FAMILIES with decorrelated errors:
                     curvature, which every motion family ignores (they all
                     cross-fade appearance linearly)
 - ``linear``        classical cross-fade (the reference's interp.py baseline)
+- ``z4d_*``         through-plane families (``slice4d_families``, round 5):
+                    the 4D protocol's motion families trained on the even
+                    frames of ALL z-slices and deployed at one z slice —
+                    the information a 2D fit cannot have by construction
+
+Not every family ships by default: the round-5 subset search kept
+``DEFAULT_INTERP_INCLUDE`` (2D-only), ``DEFAULT_STACK_2DT`` +
+``DEFAULT_STACK_Z4D`` (the 9-family 2D+t headline stack, 26.44 dB) and
+``DEFAULT_STACK_4D``; every measured-and-pruned family remains
+constructible via ``include=`` / ``include="all"``.
 
 Their fusion weights must NOT be tuned on the held-out odd frames. This
 module selects them honestly by leave-one-even-frame-out (LOO) validation:
