@@ -431,11 +431,23 @@ def main(argv=None):
     ap.add_argument("--measured_steps_per_sec", type=float, default=None,
                     help="with --roofline: print predicted step time next "
                          "to this measured rate + achieved fraction")
+    ap.add_argument("--measured_gather_ns", type=float, default=None,
+                    help="with --roofline: per-transaction random-gather "
+                         "cost (scripts/experiments.py --roofline measures "
+                         "~9.1 on v5e); enables the transaction floor")
+    ap.add_argument("--measured_scatter_json", default=None,
+                    help="with --measured_gather_ns: scatter pricing dict "
+                         'as JSON, e.g. \'{"narrow_ns": 14.3, '
+                         '"wide_below_ns": 17.5, "wide_above_ns": 80.9}\' '
+                         "(the --roofline microbenchmark's output); prices "
+                         "the backward at measured scatter cost")
     args = ap.parse_args(argv)
     kw = vars(args).copy()
     kw["hbm_bytes"] = kw.pop("hbm_gb") * 1e9
     roofline = kw.pop("roofline")
     measured = kw.pop("measured_steps_per_sec")
+    gather_ns = kw.pop("measured_gather_ns")
+    scatter_json = kw.pop("measured_scatter_json")
     out = plan_run(**kw)
     if roofline or measured:
         rl_kw = {k: kw[k] for k in (
@@ -444,7 +456,11 @@ def main(argv=None):
             "growth", "storage", "dim_hidden", "n_layers", "dim_out",
             "decoder", "batch_size", "optimizer")}
         out["roofline"] = step_roofline(
-            measured_steps_per_sec=measured, **rl_kw)
+            measured_steps_per_sec=measured,
+            measured_gather_ns=gather_ns,
+            measured_scatter=(json.loads(scatter_json)
+                              if scatter_json else None),
+            **rl_kw)
     print(json.dumps(out, indent=2))
 
 
