@@ -193,6 +193,36 @@ def main(argv=None):
         "vs_baseline": None,
     }
     skipped: list = []
+
+    # Deadline watchdog: the finally-print protects against exceptions, but
+    # not against an OUTER timeout (the driver's) SIGKILLing the process
+    # while a tunnel-degraded program load blocks the main thread for
+    # minutes (measured 2026-08-20: 90-120 s per cache-HIT load; one such
+    # run exceeded 590 s before the budget logic could even run). This
+    # thread prints whatever the record holds 15 s before the budget
+    # expires and exits the process — a partial record always beats a dead
+    # one. The normal path sets done_flag before printing; the watchdog
+    # never double-prints.
+    import threading
+
+    done_flag = threading.Event()
+
+    def _watchdog():
+        done_flag.wait(timeout=max(5.0, args.budget_s - 15.0))
+        if done_flag.is_set():
+            return
+        record["watchdog_fired"] = True
+        if skipped:
+            record["skipped_rows"] = skipped
+        record["budget_s"] = args.budget_s
+        try:
+            print(json.dumps(dict(record)), flush=True)
+        except Exception:
+            print(json.dumps({"metric": record["metric"], "value": None,
+                              "watchdog_fired": True}), flush=True)
+        os._exit(0)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     try:
         import jax
 
@@ -457,6 +487,7 @@ def main(argv=None):
     except Exception as e:
         record["error"] = repr(e)[:300]
     finally:
+        done_flag.set()
         if skipped:
             record["skipped_rows"] = skipped
         record["budget_s"] = args.budget_s
